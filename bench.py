@@ -1,0 +1,98 @@
+"""Benchmark: training-step throughput (rays/sec/chip) on the flagship
+deformable model (skel-quad, default flags: 128 imgs x 2(pair) x 16 px =
+4096 rays/iter, 64 samples/ray).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: reference PyTorch skel-quad training throughput ~13k rays/s on
+one RTX 3090 (BASELINE.md: 4096 rays x 4000 iters / 1260 s).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_RAYS_PER_SEC = 13_000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from lab4d_tpu.engine.schedules import compute_sched
+    from __graft_entry__ import _build
+
+    imgs, px = 128, 16
+    model, batch = _build(M=imgs, N=px, num_frames=64, fg_motion="skel-quad")
+    rays = imgs * 2 * px
+
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "aux": jax.random.PRNGKey(1),
+        "swap": jax.random.PRNGKey(2),
+    }
+    sched = compute_sched(0)
+    params = jax.jit(model.init, static_argnames=("train",))(
+        rngs, batch, sched, train=True
+    )["params"]
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(5.0),
+        optax.adamw(5e-4, weight_decay=1e-4),
+    )
+    opt_state = tx.init(params)
+
+    def train_step(params, opt_state, batch, step, rng):
+        sched = compute_sched(step)
+        r_aux, r_swap = jax.random.split(rng)
+
+        def loss_fn(p):
+            loss_dict = model.apply(
+                {"params": p}, batch, sched, train=True,
+                rngs={"aux": r_aux, "swap": r_swap},
+            )
+            return sum(jax.tree.leaves(loss_dict))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    step_fn = jax.jit(train_step, donate_argnums=(0, 1))
+
+    # warmup (compile + 2 steps)
+    for i in range(3):
+        params, opt_state, loss = step_fn(
+            params, opt_state, batch, float(i), jax.random.PRNGKey(i)
+        )
+    jax.block_until_ready(loss)
+
+    iters = 30
+    t0 = time.perf_counter()
+    for i in range(iters):
+        params, opt_state, loss = step_fn(
+            params, opt_state, batch, float(i), jax.random.PRNGKey(i)
+        )
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = rays * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_rays_per_sec_per_chip",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

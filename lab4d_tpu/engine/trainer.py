@@ -1,0 +1,816 @@
+"""Round-based trainer: jit-compiled train step over a device mesh,
+host-maintained geometry state, prior-fit initialization, checkpointing
+with loss-spike rollback.
+
+Parity: lab4d/engine/trainer.py. The DDP/NCCL stack is replaced by a
+single jitted train step whose batch is sharded over the mesh's "data"
+axis (XLA inserts the gradient psum); params are replicated.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import shutil
+import time
+from functools import partial
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import flax
+from flax import serialization
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lab4d_tpu.dataloader import data_utils
+from lab4d_tpu.engine import init_utils
+from lab4d_tpu.engine.model import DVRModel
+from lab4d_tpu.engine.schedules import compute_sched
+from lab4d_tpu.meshlib import Mesh as TriMesh, load_obj, uv_sphere
+from lab4d_tpu.meshlib.marching import marching_cubes
+from lab4d_tpu.meshlib.sdf import MeshSDF
+from lab4d_tpu.nnutils.embedding import FrameInfo
+from lab4d_tpu.nnutils.intrinsics import intrinsics_base_init
+from lab4d_tpu.nnutils.pose import camera_base_quat_init
+from lab4d_tpu.utils.geom import get_near_far
+from lab4d_tpu.utils.quat import quaternion_translation_to_se3
+
+_EXPLICIT_PARAM_NAMES = (
+    "logibeta", "logsigma", "logscale", "log_gauss", "base_quat",
+    "base_logfocal", "base_ppoint", "shift",
+)
+
+_LOSS_WEIGHT_NAMES = (
+    "mask_wt", "rgb_wt", "depth_wt", "flow_wt", "vis_wt", "feature_wt",
+    "feat_reproj_wt", "reg_visibility_wt", "reg_eikonal_wt",
+    "reg_deform_cyc_wt", "reg_delta_skin_wt", "reg_skin_entropy_wt",
+    "reg_gauss_skin_wt", "reg_cam_prior_wt", "reg_skel_prior_wt",
+    "reg_gauss_mask_wt", "reg_soft_deform_wt",
+)
+
+_INIT_SCALE = {"fg": 0.2, "bg": 0.1}
+
+
+def param_labels(params, freeze_bone_len: bool = False):
+    """Label each param leaf: 'explicit' (10x lr, trainer.py:122-148),
+    'frozen' (bone length freeze) or 'base'."""
+    flat = flax.traverse_util.flatten_dict(params)
+    labels = {}
+    for path in flat:
+        if freeze_bone_len and "log_bone_len" in path:
+            labels[path] = "frozen"
+        elif path[-1] in _EXPLICIT_PARAM_NAMES or (
+            len(path) > 1 and path[-2] in _EXPLICIT_PARAM_NAMES
+        ):
+            labels[path] = "explicit"
+        else:
+            labels[path] = "base"
+    return flax.traverse_util.unflatten_dict(labels)
+
+
+def onecycle_linear(step, total_steps, peak, pct_start, div_factor,
+                    final_div_factor):
+    """Linear one-cycle schedule matching torch OneCycleLR(anneal='linear')
+    (trainer.py:191-210)."""
+    warm = max(int(pct_start * total_steps), 1)
+    init = peak / div_factor
+    final = init / final_div_factor
+    up = init + (peak - init) * jnp.minimum(step, warm) / warm
+    down = peak + (final - peak) * jnp.clip(
+        (step - warm) / max(total_steps - warm, 1), 0.0, 1.0
+    )
+    return jnp.where(step < warm, up, down)
+
+
+class Trainer:
+    """Train and evaluate a lab4d_tpu model."""
+
+    def __init__(self, opts: Dict):
+        is_resumed = opts["load_path"] != ""
+        if opts.get("profile"):
+            opts = dict(opts, iters_per_round=10)
+        self.opts = opts
+
+        self.define_dataset()
+        self.trainer_init()
+        self.define_model()
+        self.optimizer_init(is_resumed=is_resumed)
+        if is_resumed:
+            self.load_checkpoint_train()
+
+    # ----------------------------------------------------------------- setup
+
+    def trainer_init(self):
+        opts = self.opts
+        logname = "%s-%s" % (opts["seqname"], opts["logname"])
+        self.save_dir = os.path.join(opts["logroot"], logname)
+        os.makedirs(self.save_dir, exist_ok=True)
+        self.log = _make_logger(self.save_dir)
+        self.current_steps = 0
+        self.current_round = 0
+        total_eval = max(self.data_info["frame_info"].num_frames - 1, 1)
+        self.eval_fid = np.linspace(0, total_eval - 1, 9).astype(int)
+
+    def define_dataset(self):
+        opts = self.opts
+        self.datasets = data_utils.config_to_datasets(opts)
+        self.eval_datasets = data_utils.config_to_datasets(opts, is_eval=True)
+        self.data_info = data_utils.get_data_info(self.eval_datasets)
+
+        devices = jax.devices()
+        self.num_data_shards = min(opts.get("ngpu", 1), len(devices))
+        imgs_per_batch = opts["imgs_per_gpu"] * self.num_data_shards
+        self.trainloader = data_utils.TrainBatchLoader(
+            self.datasets,
+            imgs_per_batch=imgs_per_batch,
+            num_workers=opts.get("num_workers", 2),
+        )
+        self.total_steps = opts["num_rounds"] * opts["iters_per_round"]
+
+    def define_model(self):
+        opts = self.opts
+        info = self.data_info
+        frame_info: FrameInfo = info["frame_info"]
+        num_inst = (
+            1 if opts["single_inst"] else frame_info.num_vids
+        )
+
+        self.model = DVRModel(
+            frame_info=frame_info,
+            field_type=opts["field_type"],
+            fg_motion=opts["fg_motion"],
+            num_inst=num_inst,
+            train_res=opts["train_res"],
+            intrinsics_init=_expand_intrinsics(info),
+            rtmat_fg=info["rtmat"][info["vis_info"]["fg"]],
+            rtmat_bg=info["rtmat"][info["vis_info"]["bg"]],
+            joint_angles_init=info.get("joint_angles"),
+            loss_weights=tuple(
+                (k, self.opts[k]) for k in _LOSS_WEIGHT_NAMES if k in self.opts
+            ),
+        )
+        self.categories = (
+            ("fg", "bg") if opts["field_type"] == "comp" else (opts["field_type"],)
+        )
+
+        # proxy geometry + geo state
+        self.proxy = {}
+        self.geo_state = {}
+        for cate in self.categories:
+            self.proxy[cate] = self._init_proxy(cate)
+        # params init with a dummy batch
+        batch = self._dummy_batch()
+        rngs = {
+            "params": jax.random.PRNGKey(0),
+            "aux": jax.random.PRNGKey(1),
+            "swap": jax.random.PRNGKey(2),
+        }
+        sched = compute_sched(0)
+        self.params = jax.jit(
+            self.model.init, static_argnames=("train",)
+        )(rngs, batch, sched, train=True)["params"]
+
+        self.mlp_init()
+        for cate in self.categories:
+            self._reset_geo_state(cate, beta=0.0)
+
+        # rollback caches (2 rounds deep, trainer.py:117-120)
+        self.model_cache = [None, None]
+        self.opt_cache = [None, None]
+
+    def _init_proxy(self, cate: str) -> TriMesh:
+        """Initial proxy mesh: TSDF mesh for bg, small sphere for fg
+        (nerf.py:240-249, deformable.py:86-93)."""
+        if cate == "bg":
+            path = self.data_info["geom_path"][
+                self.data_info["vis_info"]["bg"]
+            ]
+            mesh = load_obj(path)
+            mesh.apply_scale(_INIT_SCALE["bg"])
+            return mesh
+        return uv_sphere(radius=0.12, count=[4, 4])
+
+    def _geo_for_batch(self):
+        return {
+            cate: {
+                "aabb": jnp.asarray(self.geo_state[cate]["aabb"]),
+                "near_far_table": jnp.asarray(
+                    self.geo_state[cate]["near_far"]
+                ),
+                "proxy_corners": jnp.asarray(
+                    self.geo_state[cate]["corners"]
+                ),
+            }
+            for cate in self.categories
+        }
+
+    def _reset_geo_state(self, cate: str, beta: float = 0.0):
+        """aabb from proxy bounds; near-far from proxy verts + cameras
+        (nerf.py:344-376). beta = EMA factor toward previous value."""
+        mesh = self.proxy[cate]
+        bounds = mesh.bounds
+        if bounds is None:
+            bounds = np.array([[-1, -1, -1], [1, 1, 1]], np.float32)
+        prev = self.geo_state.get(cate)
+        aabb = bounds.astype(np.float32)
+        if prev is not None and beta > 0:
+            aabb = prev["aabb"] * beta + aabb * (1 - beta)
+
+        # camera poses for all filtered frames -> near far
+        quat, trans = self._apply_field_method(cate, "camera_vals")
+        rtmat = np.asarray(quaternion_translation_to_se3(quat, trans))
+        near_far_frames = np.asarray(
+            get_near_far(jnp.asarray(mesh.vertices, jnp.float32), rtmat)
+        )
+        nraw = self.data_info["frame_info"].num_frames_raw
+        mapping = self.data_info["frame_info"].frame_mapping
+        near_far = (
+            prev["near_far"].copy()
+            if prev is not None
+            else np.tile(np.array([0.01, 10.0], np.float32), (nraw, 1))
+        )
+        near_far[mapping] = (
+            near_far[mapping] * beta + near_far_frames * (1 - beta)
+            if prev is not None and beta > 0
+            else near_far_frames
+        )
+        self.geo_state[cate] = {
+            "aabb": aabb,
+            "near_far": near_far.astype(np.float32),
+            "corners": mesh.corners().astype(np.float32),
+        }
+
+    def _apply_field_method(self, cate, what, *args):
+        """Host-side helpers bound to a field submodule."""
+        if what == "camera_vals":
+            fn = lambda m: m.fields.field_params[cate].camera_mlp.get_vals()
+            return self.model.apply({"params": self.params}, method=fn)
+        if what == "sdf_grid":
+            fn = lambda m, pts: m.fields.field_params[cate].forward(
+                pts, inst_id=None, get_density=False
+            )
+            return self.model.apply({"params": self.params}, args[0], method=fn)
+        if what == "vis_grid":
+            fn = lambda m, pts: m.fields.field_params[cate].vis_mlp(
+                pts, inst_id=None
+            )
+            return self.model.apply({"params": self.params}, args[0], method=fn)
+        raise ValueError(what)
+
+    def _dummy_batch(self):
+        opts = self.opts
+        M, N = 2, 4
+        nraw = self.data_info["frame_info"].num_frames_raw
+        rng = np.random.default_rng(0)
+        geo = {}
+        for cate in self.categories:
+            geo[cate] = {
+                "aabb": jnp.asarray([[-0.2] * 3, [0.2] * 3], jnp.float32),
+                "near_far_table": jnp.tile(
+                    jnp.asarray([0.1, 1.0], jnp.float32), (nraw, 1)
+                ),
+                "proxy_corners": jnp.asarray(
+                    rng.standard_normal((8, 3)), jnp.float32
+                ),
+            }
+        batch = {
+            "rgb": np.zeros((M, 2, N, 3), np.float32),
+            "mask": np.zeros((M, 2, N, 1), np.float32),
+            "depth": np.zeros((M, 2, N, 1), np.float32),
+            "feature": np.zeros((M, 2, N, 16), np.float32),
+            "flow": np.zeros((M, 2, N, 2), np.float32),
+            "flow_uct": np.zeros((M, 2, N, 1), np.float32),
+            "vis2d": np.ones((M, 2, N, 1), np.float32),
+            "crop2raw": np.ones((M, 2, 4), np.float32),
+            "is_detected": np.ones((M, 2), np.float32),
+            "dataid": np.zeros((M, 2), np.int32),
+            "frameid_sub": np.zeros((M, 2), np.int32),
+            "hxy": np.ones((M, 2, N, 3), np.float32),
+        }
+        batch = jax.tree.map(jnp.asarray, batch)
+        batch["geo"] = geo
+        return batch
+
+    # ------------------------------------------------------------- mlp init
+
+    def mlp_init(self):
+        """Initialize cameras / intrinsics / geometry from priors
+        (trainer.py:88-94 + nerf.py:232-238)."""
+        info = self.data_info
+        frame_info = info["frame_info"]
+        params = flax.core.unfreeze(self.params)
+        flat = flax.traverse_util.flatten_dict(params)
+
+        # 1. overwrite base params from priors (host)
+        base_logfocal, base_ppoint = intrinsics_base_init(
+            _expand_intrinsics(info), frame_info
+        )
+        for path in list(flat):
+            spath = "/".join(path)
+            if spath == "intrinsics/base_logfocal":
+                flat[path] = jnp.asarray(base_logfocal)
+            if spath == "intrinsics/base_ppoint":
+                flat[path] = jnp.asarray(base_ppoint)
+        for cate in self.categories:
+            rtmat = np.array(
+                info["rtmat"][info["vis_info"][cate]], dtype=np.float32
+            )
+            rtmat[..., :3, 3] *= _INIT_SCALE[cate]
+            bq = camera_base_quat_init(rtmat, frame_info)
+            for path in list(flat):
+                if (
+                    f"field_params_{cate}" in "/".join(path)
+                    and path[-1] == "base_quat"
+                ):
+                    flat[path] = jnp.asarray(bq)
+        params = flax.traverse_util.unflatten_dict(flat)
+
+        # 2. fit camera MLPs + intrinsics to priors
+        def cam_loss(p):
+            return self.model.apply(
+                {"params": p}, method=lambda m: m.fields.cam_prior_loss()
+            )
+
+        params = init_utils.fit_until_converged(
+            cam_loss, params, tol=1e-4, log_name="camera"
+        )
+
+        def intr_loss(p):
+            return self.model.apply(
+                {"params": p},
+                method=lambda m: m.intrinsics.compute_distance_to_prior(),
+            )
+
+        params = init_utils.fit_until_converged(
+            intr_loss, params, tol=1.0, log_name="intrinsics"
+        )
+
+        # 3. skeleton joint-angle fit if priors available
+        if info.get("joint_angles") is not None and self.opts[
+            "fg_motion"
+        ].startswith(("skel", "comp")):
+            def skel_loss(p):
+                return self.model.apply(
+                    {"params": p},
+                    method=lambda m: m.fields.field_params[
+                        "fg"
+                    ].warp.articulation.prior_fit_loss(),
+                )
+
+            params = init_utils.fit_until_converged(
+                skel_loss, params, tol=1e-4, log_name="skeleton"
+            )
+
+        # 4. geometry distillation from proxy SDF
+        self.params = params
+        pools = self._build_geometry_pools()
+        self.params = init_utils.fit_geometry(self.model, self.params, pools)
+
+    def _build_geometry_pools(self, num_steps=500, nsample=256):
+        """Host-side sample pools for SDF distillation."""
+        rng = np.random.default_rng(0)
+        num_inst = self.model.num_inst
+        pools = {}
+        for cate in self.categories:
+            mesh = self.proxy[cate]
+            bounds = mesh.bounds
+            size = bounds[1] - bounds[0]
+            lo = bounds[0] - size * 0.25
+            hi = bounds[1] + size * 0.25
+            pts = rng.uniform(
+                lo, hi, size=(num_steps, nsample, 3)
+            ).astype(np.float32)
+            if cate == "bg":
+                sdf_fn = MeshSDF(mesh)
+                sdf_gt = sdf_fn(pts.reshape(-1, 3)).reshape(
+                    num_steps, nsample, 1
+                )
+            elif self.opts["fg_motion"].startswith(("skel", "comp")):
+                sdf_gt = self._gauss_sdf(pts.reshape(-1, 3)).reshape(
+                    num_steps, nsample, 1
+                )
+            else:
+                # sphere of radius 0.1 (deformable.py:102-107)
+                sdf_gt = (
+                    np.linalg.norm(pts, axis=-1, keepdims=True) - 0.1
+                ).astype(np.float32)
+            inst_id = rng.integers(
+                0, num_inst, size=(num_steps, nsample)
+            ).astype(np.int32)
+            pools[cate] = {
+                "pts": jnp.asarray(pts),
+                "sdf_gt": jnp.asarray(sdf_gt),
+                "inst_id": jnp.asarray(inst_id),
+            }
+        return pools
+
+    def _gauss_sdf(self, pts):
+        fn = lambda m, p: m.fields.field_params["fg"].warp.get_gauss_sdf(p)
+        out = self.model.apply(
+            {"params": self.params}, jnp.asarray(pts), method=fn
+        )
+        return np.asarray(out)
+
+    # ------------------------------------------------------------- optimizer
+
+    def optimizer_init(self, is_resumed: bool = False):
+        opts = self.opts
+        lr_base = opts["learning_rate"]
+        if is_resumed:
+            div_factor, final_div_factor, pct_start = 1.0, 5.0, 0.0
+        else:
+            div_factor, final_div_factor = 25.0, 1.0
+            pct_start = 2.0 / opts["num_rounds"]
+
+        def make_sched(peak):
+            return partial(
+                onecycle_linear,
+                total_steps=self.total_steps,
+                peak=peak,
+                pct_start=pct_start,
+                div_factor=div_factor,
+                final_div_factor=final_div_factor,
+            )
+
+        def make_adamw(peak):
+            return optax.adamw(
+                make_sched(peak), b1=0.9, b2=0.999, weight_decay=1e-4
+            )
+
+        labels = param_labels(
+            self.params, freeze_bone_len=opts.get("freeze_bone_len", False)
+        )
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(5.0),
+            optax.multi_transform(
+                {
+                    "base": make_adamw(lr_base),
+                    "explicit": make_adamw(lr_base * 10),
+                    "frozen": optax.set_to_zero(),
+                },
+                labels,
+            ),
+        )
+        self.opt_state = self.tx.init(self.params)
+        self._build_train_step()
+
+    def _build_train_step(self):
+        model, tx = self.model, self.tx
+        mesh_devices = jax.devices()[: self.num_data_shards]
+        self.mesh = Mesh(np.asarray(mesh_devices), ("data",))
+        batch_sharding = jax.tree.map(
+            lambda _: NamedSharding(self.mesh, P("data")), 0
+        )
+
+        def train_step(params, opt_state, batch, step, rng):
+            sched = compute_sched(step)
+            r_aux, r_swap = jax.random.split(rng)
+
+            def loss_fn(p):
+                loss_dict = model.apply(
+                    {"params": p},
+                    batch,
+                    sched,
+                    train=True,
+                    rngs={"aux": r_aux, "swap": r_swap},
+                )
+                return sum(jax.tree.leaves(loss_dict)), loss_dict
+
+            (total, loss_dict), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            grad_norm = optax.global_norm(grads)
+            updates, new_opt_state = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            loss_dict["total"] = total
+            loss_dict["grad_norm"] = grad_norm
+            return new_params, new_opt_state, loss_dict
+
+        if self.num_data_shards > 1:
+            repl = NamedSharding(self.mesh, P())
+            self._train_step = jax.jit(
+                train_step,
+                donate_argnums=(0, 1),
+                in_shardings=(repl, repl, None, None, None),
+                out_shardings=(repl, repl, repl),
+            )
+            self._batch_sharding = NamedSharding(self.mesh, P("data"))
+        else:
+            self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+            self._batch_sharding = None
+
+    # ---------------------------------------------------------------- train
+
+    def train(self):
+        opts = self.opts
+        self.save_checkpoint(round_count=self.current_round)
+        self.trainloader.start()
+        for round_count in range(
+            self.current_round, self.current_round + opts["num_rounds"]
+        ):
+            start = time.time()
+            self.run_one_round(round_count)
+            print(
+                f"Round {round_count:03d}: time={time.time() - start:.3f}s",
+                flush=True,
+            )
+        self.trainloader.stop()
+
+    def run_one_round(self, round_count):
+        try:
+            self.model_eval()
+        except Exception as e:  # eval must not kill training
+            print(f"[warn] eval failed: {e}")
+        self.update_geometry_aux()
+        self.export_geometry_aux(
+            "%s/%03d" % (self.save_dir, round_count)
+        )
+        self.train_one_round(round_count)
+        self.current_round += 1
+        self.save_checkpoint(round_count=self.current_round)
+
+    def train_one_round(self, round_count):
+        opts = self.opts
+        geo = self._geo_for_batch()
+        pending_grad_norm = None  # delayed one step to keep dispatch async
+        for i in range(opts["iters_per_round"]):
+            batch_np = self.trainloader.next_batch()
+            if self._batch_sharding is not None:
+                batch = {
+                    k: jax.device_put(v, self._batch_sharding)
+                    for k, v in batch_np.items()
+                }
+            else:
+                batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+            batch["geo"] = geo
+            rng = jax.random.fold_in(
+                jax.random.PRNGKey(42), self.current_steps
+            )
+            self.params, self.opt_state, loss_dict = self._train_step(
+                self.params,
+                self.opt_state,
+                batch,
+                jnp.asarray(self.current_steps, jnp.float32),
+                rng,
+            )
+            if pending_grad_norm is not None:
+                self.check_grad(pending_grad_norm)
+            pending_grad_norm = loss_dict["grad_norm"]
+            if self.current_steps % 10 == 0:
+                self.log.scalars(
+                    {k: float(v) for k, v in loss_dict.items()},
+                    self.current_steps,
+                )
+            self.current_steps += 1
+        if pending_grad_norm is not None:
+            self.check_grad(pending_grad_norm)
+
+    def check_grad(self, grad_norm, thresh: float = 5.0):
+        """Loss-spike rollback (trainer.py:581-604): if the grad norm spikes
+        (or goes non-finite), restore model+optimizer from two rounds ago.
+
+        The check trails the corresponding update by one step so the host
+        never blocks the device pipeline on a scalar readback.
+        """
+        grad_norm = float(grad_norm)
+        bad = (grad_norm > thresh) or not np.isfinite(grad_norm)
+        if bad and self.model_cache[0] is not None:
+            print(
+                f"large grad: {grad_norm:.2f}, resume from cached weights"
+            )
+            self.params = jax.tree.map(jnp.asarray, self.model_cache[0])
+            self.opt_state = jax.tree.map(jnp.asarray, self.opt_cache[0])
+
+    # ------------------------------------------------------ geometry upkeep
+
+    def update_geometry_aux(self):
+        """Marching-cubes proxy refresh + aabb/near-far EMA
+        (multifields.py:129-134)."""
+        for cate in self.categories:
+            mesh = self.extract_canonical_mesh(cate, use_extend_aabb=True)
+            if not mesh.is_empty:
+                self.proxy[cate] = mesh
+            self._reset_geo_state(cate, beta=0.9)
+
+    def extract_canonical_mesh(
+        self, cate, grid_size=64, level=0.005, use_visibility=True,
+        use_extend_aabb=True, inst_id=None,
+    ):
+        aabb = self.geo_state[cate]["aabb"]
+        if use_extend_aabb:
+            size = aabb[1] - aabb[0]
+            aabb = np.stack([aabb[0] - 0.5 * size, aabb[1] + 0.5 * size])
+        sdf_fn = lambda pts: np.asarray(
+            self._apply_field_method(cate, "sdf_grid", jnp.asarray(pts))
+        )
+        vis_fn = (
+            (lambda pts: np.asarray(
+                self._apply_field_method(cate, "vis_grid", jnp.asarray(pts))
+            ) > 0)
+            if use_visibility
+            else None
+        )
+        return marching_cubes(
+            sdf_fn,
+            aabb,
+            visibility_func=vis_fn,
+            grid_size=grid_size,
+            level=level,
+            apply_connected_component=(cate == "fg"),
+        )
+
+    def export_geometry_aux(self, path):
+        for cate in self.categories:
+            try:
+                self.proxy[cate].export(f"{path}-{cate}-proxy.obj")
+            except Exception as e:
+                print(f"[warn] proxy export failed: {e}")
+
+    # ----------------------------------------------------------------- eval
+
+    def model_eval(self):
+        """Render eval frames and log image grids (trainer.py:400-411)."""
+        opts = self.opts
+        rendered = self.render_frames(self.eval_fid)
+        self.log.images(rendered, self.current_round)
+
+    def render_frames(self, fids, render_res: Optional[int] = None):
+        opts = self.opts
+        res = render_res or opts["eval_res"]
+        geo = self._geo_for_batch()
+
+        hxy = _xy_grid(res)
+        if not hasattr(self, "_eval_render"):
+            model = self.model
+
+            def eval_render(params, batch):
+                return model.apply(
+                    {"params": params},
+                    batch,
+                    sched=None,
+                    method=model.evaluate_chunk,
+                )
+
+            self._eval_render = jax.jit(eval_render)
+
+        out = {}
+        for fid in fids:
+            pair = data_utils.load_eval_frame(
+                self.eval_datasets, int(fid), self.data_info
+            )
+            crop2raw = pair["crop2raw"][:1].copy()
+            crop2raw[:, :2] *= opts["train_res"] / res
+            batch = {
+                "dataid": jnp.asarray(pair["dataid"][:1].astype(np.int32)),
+                "frameid_sub": jnp.asarray(
+                    pair["frameid_sub"][:1].astype(np.int32)
+                ),
+                "crop2raw": jnp.asarray(crop2raw),
+                "hxy": jnp.asarray(hxy[None]),
+                "geo": geo,
+            }
+            rendered = self._eval_render(self.params, batch)
+            for k, v in rendered.items():
+                if v.ndim < 3:
+                    continue
+                img = np.asarray(v[0]).reshape(res, res, -1)
+                out.setdefault(k, []).append(img)
+        return {k: np.stack(v) for k, v in out.items()}
+
+    # ----------------------------------------------------------- checkpoint
+
+    def save_checkpoint(self, round_count):
+        opts = self.opts
+        self.model_cache[0] = self.model_cache[1]
+        self.opt_cache[0] = self.opt_cache[1]
+        self.model_cache[1] = jax.tree.map(np.asarray, self.params)
+        self.opt_cache[1] = jax.tree.map(np.asarray, self.opt_state)
+
+        if round_count % opts["save_freq"] == 0:
+            path = "%s/ckpt_%04d.flax" % (self.save_dir, round_count)
+            payload = {
+                "current_steps": self.current_steps,
+                "current_round": self.current_round,
+                "model": self.model_cache[1],
+                "geo_state": self.geo_state,
+                "proxy": {
+                    c: (m.vertices, m.faces) for c, m in self.proxy.items()
+                },
+            }
+            with open(path, "wb") as f:
+                pickle.dump(payload, f)
+            shutil.copy(path, "%s/ckpt_latest.flax" % self.save_dir)
+            print(f"saved checkpoint round {round_count}")
+
+    @staticmethod
+    def load_checkpoint(load_path: str):
+        with open(load_path, "rb") as f:
+            return pickle.load(f)
+
+    def load_checkpoint_train(self):
+        ckpt = self.load_checkpoint(self.opts["load_path"])
+        self.params = _merge_params(self.params, ckpt["model"])
+        if not self.opts["reset_steps"]:
+            self.current_steps = ckpt["current_steps"]
+            self.current_round = ckpt["current_round"]
+        for cate, (v, f) in ckpt.get("proxy", {}).items():
+            if cate in self.categories:
+                self.proxy[cate] = TriMesh(v, f)
+        for cate in self.categories:
+            self._reset_geo_state(cate, beta=0.0)
+
+    # -------------------------------------------------------- test-time use
+
+    @staticmethod
+    def construct_test_model(opts):
+        """Build a model + load a checkpoint at test time
+        (trainer.py:545-579)."""
+        eval_datasets = data_utils.config_to_datasets(opts, is_eval=True)
+        data_info = data_utils.get_data_info(eval_datasets)
+        frame_info = data_info["frame_info"]
+
+        model = DVRModel(
+            frame_info=frame_info,
+            field_type=opts["field_type"],
+            fg_motion=opts["fg_motion"],
+            num_inst=1 if opts["single_inst"] else frame_info.num_vids,
+            train_res=opts["train_res"],
+            intrinsics_init=_expand_intrinsics(data_info),
+            rtmat_fg=data_info["rtmat"][data_info["vis_info"]["fg"]],
+            rtmat_bg=data_info["rtmat"][data_info["vis_info"]["bg"]],
+            loss_weights=tuple(
+                (k, opts[k]) for k in _LOSS_WEIGHT_NAMES if k in opts
+            ),
+        )
+        logname = "%s-%s" % (opts["seqname"], opts["logname"])
+        load_path = "%s/%s/ckpt_%s.flax" % (
+            opts["logroot"], logname, opts["load_suffix"],
+        )
+        ckpt = Trainer.load_checkpoint(load_path)
+        params = ckpt["model"]
+        geo_state = ckpt["geo_state"]
+        proxy = {c: TriMesh(v, f) for c, (v, f) in ckpt["proxy"].items()}
+        return model, params, geo_state, proxy, data_info, eval_datasets
+
+
+# --------------------------------------------------------------------- misc
+
+
+def _expand_intrinsics(info):
+    return np.asarray(info["intrinsics"], dtype=np.float32)
+
+
+def _xy_grid(res: int) -> np.ndarray:
+    x, y = np.meshgrid(np.arange(res), np.arange(res), indexing="xy")
+    return np.stack(
+        [x.reshape(-1), y.reshape(-1), np.ones(res * res)], -1
+    ).astype(np.float32)
+
+
+def _merge_params(params, loaded):
+    """strict=False load: overwrite leaves present in both trees."""
+    flat_p = flax.traverse_util.flatten_dict(flax.core.unfreeze(params))
+    flat_l = flax.traverse_util.flatten_dict(loaded)
+    for k, v in flat_l.items():
+        if k in flat_p and flat_p[k].shape == v.shape:
+            flat_p[k] = jnp.asarray(v)
+    return flax.traverse_util.unflatten_dict(flat_p)
+
+
+class _make_logger:
+    """Scalar/image logger: JSONL always; TensorBoard if available."""
+
+    def __init__(self, save_dir):
+        self.save_dir = save_dir
+        self.jsonl = open(os.path.join(save_dir, "metrics.jsonl"), "a")
+        try:
+            from tensorboardX import SummaryWriter
+
+            self.tb = SummaryWriter(save_dir)
+        except Exception:
+            self.tb = None
+
+    def scalars(self, d: Dict[str, float], step: int):
+        self.jsonl.write(json.dumps({"step": step, **d}) + "\n")
+        self.jsonl.flush()
+        if self.tb:
+            for k, v in d.items():
+                self.tb.add_scalar(k, v, step)
+
+    def images(self, rendered: Dict[str, np.ndarray], step: int):
+        if not self.tb:
+            return
+        from lab4d_tpu.utils.vis import img2color, make_image_grid
+
+        for k, v in rendered.items():
+            try:
+                grid = make_image_grid(v)
+                img = img2color(k, grid)
+                self.tb.add_image(
+                    "img_" + k, img, step, dataformats="HWC"
+                )
+            except Exception:
+                pass
