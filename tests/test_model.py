@@ -1,0 +1,176 @@
+"""Model-level tests: forward loss, gradients, schedules, pair flip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lab4d_tpu.engine.model import DVRModel
+from lab4d_tpu.engine.schedules import compute_sched, interp_wt_jnp
+from lab4d_tpu.nnutils.embedding import FrameInfo
+from lab4d_tpu.nnutils.nerf import flip_pair
+
+LOSS_WEIGHTS = tuple(
+    {
+        "mask_wt": 0.1, "rgb_wt": 0.1, "depth_wt": 1e-4, "flow_wt": 0.5,
+        "vis_wt": 1e-2, "feature_wt": 1e-2, "feat_reproj_wt": 5e-2,
+        "reg_visibility_wt": 1e-4, "reg_eikonal_wt": 1e-3,
+        "reg_deform_cyc_wt": 0.01, "reg_delta_skin_wt": 5e-3,
+        "reg_skin_entropy_wt": 5e-4, "reg_gauss_skin_wt": 1e-3,
+        "reg_cam_prior_wt": 0.1, "reg_skel_prior_wt": 0.1,
+        "reg_gauss_mask_wt": 0.01, "reg_soft_deform_wt": 100.0,
+    }.items()
+)
+
+
+def make_model_and_batch(field_type="fg", fg_motion="rigid", M=2, N=6):
+    """M and N chosen coprime-ish so broadcasting bugs can't hide."""
+    num_frames = 10
+    fi = FrameInfo([0, num_frames], [0, num_frames + 2], list(range(num_frames)))
+    rt = np.tile(np.eye(4, dtype=np.float32)[None], (num_frames, 1, 1))
+    rt[:, 2, 3] = 1.0
+    intr = np.tile(
+        np.array([100.0, 100.0, 32.0, 32.0], np.float32)[None], (num_frames, 1)
+    )
+    model = DVRModel(
+        frame_info=fi, field_type=field_type, fg_motion=fg_motion,
+        num_inst=1, train_res=64, intrinsics_init=intr, rtmat_fg=rt,
+        rtmat_bg=rt, loss_weights=LOSS_WEIGHTS,
+    )
+    rng = np.random.default_rng(0)
+    nraw = num_frames + 2
+    cates = ("fg", "bg") if field_type == "comp" else (field_type,)
+    geo = {
+        c: {
+            "aabb": jnp.asarray([[-0.2] * 3, [0.2] * 3], jnp.float32),
+            "near_far_table": jnp.tile(
+                jnp.asarray([0.5, 2.0], jnp.float32), (nraw, 1)
+            ),
+            "proxy_corners": jnp.asarray(
+                rng.standard_normal((8, 3)) * 0.1, jnp.float32
+            ),
+        }
+        for c in cates
+    }
+    batch = {
+        "rgb": rng.random((M, 2, N, 3)).astype(np.float32),
+        "mask": (rng.random((M, 2, N, 1)) > 0.5).astype(np.float32),
+        "depth": rng.random((M, 2, N, 1)).astype(np.float32),
+        "feature": rng.standard_normal((M, 2, N, 16)).astype(np.float32),
+        "flow": rng.standard_normal((M, 2, N, 2)).astype(np.float32),
+        "flow_uct": rng.random((M, 2, N, 1)).astype(np.float32),
+        "vis2d": np.ones((M, 2, N, 1), np.float32),
+        "crop2raw": np.tile(np.array([1.0, 1.0, 0.0, 0.0], np.float32), (M, 2, 1)),
+        "is_detected": np.ones((M, 2), np.float32),
+        "dataid": np.zeros((M, 2), np.int32),
+        "frameid_sub": rng.integers(0, num_frames - 1, (M, 2)).astype(np.int32),
+        "hxy": np.concatenate(
+            [rng.integers(0, 64, (M, 2, N, 2)), np.ones((M, 2, N, 1))], -1
+        ).astype(np.float32),
+    }
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    batch["geo"] = geo
+    return model, batch
+
+
+RNGS = {
+    "params": jax.random.PRNGKey(0),
+    "aux": jax.random.PRNGKey(1),
+    "swap": jax.random.PRNGKey(2),
+}
+
+
+class TestSchedules:
+    def test_interp(self):
+        assert float(interp_wt_jnp((0, 100), (0.0, 1.0), 50.0)) == pytest.approx(0.5)
+        assert float(interp_wt_jnp((0, 100), (1.0, 0.0), 200.0)) == 0.0
+        assert float(
+            interp_wt_jnp((0, 100), (1.0, 100.0), 50.0, "log")
+        ) == pytest.approx(10.0, rel=1e-3)
+
+    def test_sched_endpoints(self):
+        s0 = compute_sched(0)
+        assert float(s0["alpha"]) == pytest.approx(0.6)
+        assert float(s0["beta_prob"]) == pytest.approx(1.0)
+        s_end = compute_sched(10_000)
+        assert float(s_end["alpha"]) == 1.0
+        assert float(s_end["reg_eikonal_factor"]) == pytest.approx(100.0)
+        assert float(s_end["reg_cam_prior_factor"]) == 0.0
+
+
+class TestFlipPair:
+    def test_flip(self):
+        x = jnp.arange(8).reshape(8, 1)
+        got = np.asarray(flip_pair(x)).reshape(-1)
+        np.testing.assert_array_equal(got, [1, 0, 3, 2, 5, 4, 7, 6])
+
+    def test_flip_tree(self):
+        d = {"a": jnp.arange(4), "b": (jnp.arange(4), jnp.arange(4))}
+        out = flip_pair(d)
+        np.testing.assert_array_equal(np.asarray(out["a"]), [1, 0, 3, 2])
+
+
+class TestForwardLoss:
+    def test_rigid_fg_loss_and_grads_finite(self):
+        model, batch = make_model_and_batch("fg", "rigid")
+        sched = compute_sched(100)
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            RNGS, batch, sched, train=True
+        )
+
+        def loss_fn(p):
+            ld = model.apply(
+                {"params": p}, batch, sched, train=True,
+                rngs={"aux": jax.random.PRNGKey(3), "swap": jax.random.PRNGKey(4)},
+            )
+            return sum(jax.tree.leaves(ld)), ld
+
+        (total, ld), grads = jax.jit(
+            jax.value_and_grad(loss_fn, has_aux=True)
+        )(variables["params"])
+        assert np.isfinite(float(total))
+        for k, v in ld.items():
+            assert np.isfinite(float(v)), f"loss {k} not finite"
+        for leaf in jax.tree.leaves(grads):
+            assert bool(jnp.isfinite(leaf).all()), "non-finite gradient"
+
+    def test_bob_fg_loss_finite(self):
+        model, batch = make_model_and_batch("fg", "bob")
+        sched = compute_sched(100)
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            RNGS, batch, sched, train=True
+        )
+        ld = jax.jit(
+            lambda p: model.apply(
+                {"params": p}, batch, sched, train=True,
+                rngs={"aux": jax.random.PRNGKey(3), "swap": jax.random.PRNGKey(4)},
+            )
+        )(variables["params"])
+        total = sum(jax.tree.leaves(ld))
+        assert np.isfinite(float(total))
+        # skinning-specific losses must be present and finite (entropy can
+        # legitimately underflow to 0 when skinning is one-hot)
+        assert float(ld["reg_skin_entropy"]) >= 0
+        assert float(ld["reg_gauss_skin"]) != 0
+
+    def test_eval_render_chunk(self):
+        model, batch = make_model_and_batch("fg", "rigid")
+        sched = compute_sched(100)
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            RNGS, batch, sched, train=True
+        )
+        eval_batch = {
+            "dataid": batch["dataid"][:, 0],
+            "frameid_sub": batch["frameid_sub"][:, 0],
+            "crop2raw": batch["crop2raw"][:, 0],
+            "hxy": batch["hxy"][:, 0],
+            "geo": batch["geo"],
+        }
+        rendered = jax.jit(
+            lambda p, b: model.apply(
+                {"params": p}, b, sched=None, method=model.evaluate_chunk
+            )
+        )(variables["params"], eval_batch)
+        assert "rgb" in rendered and "normal" in rendered and "depth" in rendered
+        for k, v in rendered.items():
+            assert bool(jnp.isfinite(v).all()), f"eval output {k} not finite"

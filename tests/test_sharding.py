@@ -1,0 +1,93 @@
+"""Multi-chip sharding tests on a virtual 8-device CPU mesh.
+
+Mirrors how the reference validates multi-GPU with process pinning
+(SURVEY.md §4); here the DP path is a jitted step with the ray batch
+sharded over a ("data",) mesh.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lab4d_tpu.engine.schedules import compute_sched
+from tests.test_model import RNGS, make_model_and_batch
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model, batch = make_model_and_batch("fg", "rigid", M=8, N=4)
+    sched = compute_sched(0)
+    params = jax.jit(model.init, static_argnames=("train",))(
+        RNGS, batch, sched, train=True
+    )["params"]
+    return model, batch, params
+
+
+def _loss(model, p, batch, sched):
+    ld = model.apply(
+        {"params": p}, batch, sched, train=True,
+        rngs={"aux": jax.random.PRNGKey(3), "swap": jax.random.PRNGKey(4)},
+    )
+    return sum(jax.tree.leaves(ld))
+
+
+class TestDataParallel:
+    def test_eight_devices_available(self):
+        assert len(jax.devices()) >= 8
+
+    def test_sharded_grad_step_runs(self, setup):
+        model, batch, params = setup
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+        repl = NamedSharding(mesh, P())
+        data_sh = NamedSharding(mesh, P("data"))
+
+        geo = jax.device_put(batch["geo"], repl)
+        sharded = {
+            k: jax.device_put(v, data_sh)
+            for k, v in batch.items()
+            if k != "geo"
+        }
+        sharded["geo"] = geo
+        params_r = jax.device_put(params, repl)
+        sched = compute_sched(0)
+
+        tx = optax.adamw(1e-4)
+        opt = jax.device_put(tx.init(params_r), repl)
+
+        @jax.jit
+        def step(p, o, b):
+            loss, grads = jax.value_and_grad(
+                lambda pp: _loss(model, pp, b, sched)
+            )(p)
+            updates, o = tx.update(grads, o, p)
+            return optax.apply_updates(p, updates), o, loss
+
+        p2, o2, loss = step(params_r, opt, sharded)
+        assert np.isfinite(float(loss))
+        # params stay replicated
+        leaf = jax.tree.leaves(p2)[0]
+        assert leaf.sharding.is_fully_replicated
+
+    def test_sharded_matches_single_device_loss(self, setup):
+        """The sharded forward must equal the single-device forward (DP is
+        numerically a pure batch split)."""
+        model, batch, params = setup
+        sched = compute_sched(0)
+        single = float(jax.jit(lambda p: _loss(model, p, batch, sched))(params))
+
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+        repl = NamedSharding(mesh, P())
+        data_sh = NamedSharding(mesh, P("data"))
+        sharded = {
+            k: jax.device_put(v, data_sh) for k, v in batch.items() if k != "geo"
+        }
+        sharded["geo"] = jax.device_put(batch["geo"], repl)
+        multi = float(
+            jax.jit(lambda p, b: _loss(model, p, b, sched))(
+                jax.device_put(params, repl), sharded
+            )
+        )
+        assert single == pytest.approx(multi, rel=2e-4)
