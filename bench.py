@@ -65,12 +65,14 @@ def main():
 
     step_fn = jax.jit(train_step, donate_argnums=(0, 1))
 
-    # warmup (compile + 2 steps)
+    # warmup (compile + 2 steps); use a scalar readback as the fence —
+    # under the axon remote platform block_until_ready is not a reliable
+    # barrier, a host transfer is
     for i in range(3):
         params, opt_state, loss = step_fn(
             params, opt_state, batch, float(i), jax.random.PRNGKey(i)
         )
-    jax.block_until_ready(loss)
+    _ = float(loss)
 
     iters = 30
     t0 = time.perf_counter()
@@ -78,7 +80,7 @@ def main():
         params, opt_state, loss = step_fn(
             params, opt_state, batch, float(i), jax.random.PRNGKey(i)
         )
-    jax.block_until_ready(loss)
+    _ = float(loss)
     dt = time.perf_counter() - t0
 
     rays_per_sec = rays * iters / dt

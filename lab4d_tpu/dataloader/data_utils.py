@@ -176,11 +176,18 @@ class TrainBatchLoader:
 
     def _make_batch(self, rng) -> Dict[str, np.ndarray]:
         picks = rng.integers(0, len(self.pool), size=self.imgs_per_batch)
-        items = []
+        # group picks per video so each native gather covers many frames
+        by_vid: Dict[int, list] = {}
         for p in picks:
             di, fi = self.pool[p]
-            items.append(self.datasets[di].load_pair(int(fi)))
-        return {k: np.stack([it[k] for it in items]) for k in items[0]}
+            by_vid.setdefault(int(di), []).append(int(fi))
+        chunks = [
+            self.datasets[di].load_pairs_batch(fis, rng)
+            for di, fis in by_vid.items()
+        ]
+        return {
+            k: np.concatenate([c[k] for c in chunks], axis=0) for k in chunks[0]
+        }
 
     def _worker(self, wid: int):
         rng = np.random.default_rng(self.rng.integers(0, 2**31) + wid)

@@ -165,6 +165,88 @@ class VidData:
         x0 = idx // self.img_size[0]
         return np.stack([x0, y0], axis=-1)
 
+    def load_pairs_batch(self, indices, rng=None) -> Dict[str, np.ndarray]:
+        """Batched pair loading through the native gather kernels.
+
+        Gathers all frames/modalities for `indices` (F,) pair-start frames
+        in one C++ call per modality (lab4d_tpu/native); falls back to the
+        per-frame numpy path if the native library is unavailable.
+
+        Returns dict of (F, 2, ...) arrays matching load_pair's contract.
+        """
+        from lab4d_tpu import native
+
+        if native.get_lib() is None:
+            items = [self.load_pair(int(i)) for i in indices]
+            return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+        F = len(indices)
+        N = self.pixels_per_image
+        deltas = [self.sample_delta(int(i)) for i in indices]
+        f0 = np.asarray([int(i) for i in indices], np.int32)
+        f1 = f0 + np.asarray(deltas, np.int32)
+        fids = np.empty(2 * F, np.int32)
+        fids[0::2] = f0
+        fids[1::2] = f1
+        xys = np.stack([self.sample_xy() for _ in range(2 * F)]).astype(np.int32)
+
+        rgb = native.gather_pixels(self.mmap["rgb"], fids, xys)
+        if rgb.shape[-1] == 1:  # gray
+            rgb = np.repeat(rgb, 3, axis=-1)
+        mask2 = native.gather_pixels(self.mmap["mask"], fids, xys)
+        depth = native.gather_pixels(self.mmap["depth"], fids, xys)
+        feat_map = self.mmap["feature"]
+        feature = native.gather_features_bilinear(
+            np.asarray(feat_map) if not isinstance(feat_map, np.memmap) else feat_map,
+            fids, xys, float(feat_map.shape[1]) / self.img_size[0],
+        )
+
+        # flow: group by (delta, direction)
+        flow = np.zeros((2 * F, N, 3), np.float32)
+        groups: Dict[tuple, list] = {}
+        for i in range(F):
+            d = deltas[i]
+            groups.setdefault((d, True), []).append(i)
+            groups.setdefault((d, False), []).append(i)
+        for (d, is_fw), rows in groups.items():
+            rows = np.asarray(rows)
+            if is_fw:
+                src = self.mmap["flowfw"][d]
+                sel = 2 * rows  # first of pair
+                sub_fids = (f0[rows] // d).astype(np.int32)
+            else:
+                src = self.mmap["flowbw"][d]
+                sel = 2 * rows + 1
+                sub_fids = (f1[rows] // d - 1).astype(np.int32)
+            out = native.gather_pixels(src, sub_fids, xys[sel])
+            flow[sel] = out
+
+        hxy = np.concatenate(
+            [xys.astype(np.float32), np.ones((2 * F, N, 1), np.float32)], -1
+        )
+
+        def pair(x):
+            return x.reshape((F, 2) + x.shape[1:])
+
+        return {
+            "rgb": pair(rgb),
+            "mask": pair(mask2[..., :1]),
+            "depth": pair(depth),
+            "feature": pair(feature),
+            "flow": pair(flow[..., :2]),
+            "flow_uct": pair(flow[..., 2:]),
+            "vis2d": pair(mask2[..., 1:]),
+            "crop2raw": self.crop2raw[fids].astype(np.float32).reshape(F, 2, 4),
+            "is_detected": self.is_detected[fids]
+            .astype(np.float32)
+            .reshape(F, 2),
+            "dataid": np.full((F, 2), self.dataid, np.int32),
+            "frameid_sub": np.asarray(self.frame_map, np.int32)[fids].reshape(
+                F, 2
+            ),
+            "hxy": pair(hxy),
+        }
+
     def load_pair(self, im0idx: int) -> Dict[str, np.ndarray]:
         """Sample a (frame, frame+delta) pair -> dict of (2, ...) arrays."""
         delta = self.sample_delta(im0idx)

@@ -129,6 +129,7 @@ class NeRF(nn.Module):
         get_density: bool = True,
         sched: Optional[Dict] = None,
         train: bool = False,
+        fused: Optional[bool] = None,
     ):
         """Evaluate the field at canonical points (nerf.py:167-215).
 
@@ -138,7 +139,9 @@ class NeRF(nn.Module):
         alpha = None if sched is None else sched.get("alpha")
         beta_prob = None if sched is None else sched.get("beta_prob")
         xyz_embed = self.pos_embedding(xyz, alpha=alpha)
-        xyz_feat = self.basefield(xyz_embed, inst_id, beta_prob=beta_prob, train=train)
+        xyz_feat = self.basefield(
+            xyz_embed, inst_id, beta_prob=beta_prob, train=train, fused=fused
+        )
 
         sdf = self.sdf_head(xyz_feat)  # negative inside
         if get_density:
@@ -162,7 +165,8 @@ class NeRF(nn.Module):
 
             xyz_embed_c = self.pos_embedding_color(xyz, alpha=alpha)
             xyz_feat = xyz_feat + self.colorfield(
-                xyz_embed_c, inst_id, beta_prob=beta_prob, train=train
+                xyz_embed_c, inst_id, beta_prob=beta_prob, train=train,
+                fused=fused,
             )
             rgb = self.rgb_head[1](
                 nn.relu(self.rgb_head[0](jnp.concatenate([xyz_feat, appr_embed], -1)))
@@ -426,7 +430,8 @@ class NeRF(nn.Module):
 
         def sdf_sum(pts):
             return self.forward(
-                pts, inst_id=inst_s, get_density=False, sched=sched
+                pts, inst_id=inst_s, get_density=False, sched=sched,
+                fused=False,  # double-backward path
             ).sum()
 
         g = jax.grad(sdf_sum)(xyz_s)  # (S, D, 3)
@@ -447,7 +452,8 @@ class NeRF(nn.Module):
                 pts_cam, dir_cam, field2cam, frame_id, inst_id, samples_dict
             )["xyz"]
             return self.forward(
-                xyz, inst_id=inst_id, get_density=False, sched=sched
+                xyz, inst_id=inst_id, get_density=False, sched=sched,
+                fused=False,  # double-backward path
             ).sum()
 
         g = jax.grad(sdf_sum)(xyz_cam)

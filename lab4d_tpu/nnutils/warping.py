@@ -81,6 +81,35 @@ class DenseWarp(IdentityWarp):
         return xyz + motion * 0.1, {}
 
 
+class NVPWarp(IdentityWarp):
+    """Invertible warp: one RealNVP map serves forward and backward
+    (warping.py:173-226)."""
+
+    D: int = 2
+
+    def setup(self):
+        from lab4d_tpu.nnutils.nvp import NVP
+
+        self.time_embedding = TimeEmbedding(
+            num_freq_t=self.num_freq_t, frame_info=self.frame_info
+        )
+        self.map = NVP(n_layers=self.D)
+
+    def __call__(
+        self, xyz, frame_id, inst_id, backward=False, samples_dict=None,
+        sched=None, train=True,
+    ):
+        t_embed = self.time_embedding(frame_id)
+        t_embed = t_embed.reshape(
+            (-1,) + (1,) * (xyz.ndim - 2) + (t_embed.shape[-1],)
+        )
+        if backward:
+            out = self.map.inverse(t_embed, xyz)
+        else:
+            out = self.map.forward(t_embed, xyz)
+        return out, {}
+
+
 class SkinningWarp(IdentityWarp):
     """Neural blend skinning: bag-of-bones or skeleton articulation +
     Gaussian skinning + DQ blend (warping.py:229-406)."""
@@ -231,6 +260,8 @@ def parse_warp_type(fg_motion: str) -> Dict:
         return {"cls": IdentityWarp, "kwargs": {}}
     if fg_motion == "dense":
         return {"cls": DenseWarp, "kwargs": {}}
+    if fg_motion == "nvp":
+        return {"cls": NVPWarp, "kwargs": {}}
     if fg_motion == "bob":
         return {"cls": SkinningWarp, "kwargs": {"skel_type": "flat"}}
     if fg_motion.startswith("skel-"):
