@@ -1,0 +1,188 @@
+"""Preprocessing-stage tests against the analytic raw scene
+(tests/synthetic_raw.py): flow estimator accuracy, crop round-trip,
+camera registration vs GT orbit, TSDF fusion geometry, canonical
+registration, features, and a packed-dataset load."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.synthetic_raw import make_raw_scene, orbit_pose
+
+
+@pytest.fixture(scope="module")
+def raw_scene(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("rawdb"))
+    scene = make_raw_scene(root, num_frames=10, res=96)
+    scene["outdir"] = f"{root}/processed"
+    return scene
+
+
+def rot_angle_deg(Ra, Rb):
+    tr = np.trace(Ra @ Rb.T, axis1=-2, axis2=-1) if Ra.ndim == 3 else np.trace(Ra @ Rb.T)
+    return np.degrees(np.arccos(np.clip((tr - 1) / 2, -1, 1)))
+
+
+def test_flow_estimator_known_shift():
+    import cv2
+
+    from preprocess.backends.flow_jax import compute_pair_flow
+
+    rng = np.random.default_rng(0)
+    tex = cv2.GaussianBlur(rng.random((400, 400)).astype(np.float32), (0, 0), 4)
+    tex = (tex - tex.min()) / (tex.max() - tex.min())
+    img0 = (tex[50:338, 50:338, None].repeat(3, 2) * 255).astype(np.uint8)
+    img1 = (tex[44:332, 53:341, None].repeat(3, 2) * 255).astype(np.uint8)
+    fw, bw = compute_pair_flow(img0, img1)
+    interior = fw[40:-40, 40:-40, :2].reshape(-1, 2)
+    err = np.linalg.norm(interior - np.array([-3.0, 6.0]), axis=-1)
+    assert np.median(err) < 0.5
+    # backward flow is the negation
+    interior_bw = bw[40:-40, 40:-40, :2].reshape(-1, 2)
+    assert np.median(np.linalg.norm(interior_bw - np.array([3.0, -6.0]), axis=-1)) < 0.5
+
+
+def test_crop_pack_layout(raw_scene):
+    from preprocess.scripts.crop import extract_crop
+
+    out, seq = raw_scene["outdir"], raw_scene["seqname"]
+    extract_crop(seq, 64, 1, out)
+    extract_crop(seq, 64, 0, out)
+    n = len(raw_scene["rts"])
+    rgb = np.load(f"{out}/JPEGImages/Full-Resolution/{seq}/crop-64.npy")
+    assert rgb.shape == (n, 64, 64, 3) and rgb.dtype == np.float16
+    mask = np.load(f"{out}/Annotations/Full-Resolution/{seq}/crop-64.npy")
+    assert mask.shape == (n, 64, 64, 2) and mask.dtype == bool
+    # fg crop is mask-centered: fg fraction should be sizeable
+    assert mask[..., 0].mean() > 0.2
+    flow = np.load(f"{out}/FlowFW_1/Full-Resolution/{seq}/crop-64.npy")
+    assert flow.shape == (n - 1, 64, 64, 3)
+    # GT flow is cycle-consistent -> uncertainty ~1 wherever the flow
+    # target stays inside the frame (the fast orbit pushes ~half the
+    # pixels out of view each step; those correctly get uct=0)
+    flow_full = np.load(
+        f"{out}/FlowFW_1/Full-Resolution/{seq}/full-64.npy"
+    ).astype(np.float32)
+    xs, ys = np.meshgrid(np.arange(64), np.arange(64), indexing="xy")
+    tx = xs[None] + flow_full[..., 0]
+    ty = ys[None] + flow_full[..., 1]
+    in_frame = (tx > 1) & (tx < 62) & (ty > 1) & (ty < 62)
+    assert in_frame.mean() > 0.3
+    # remaining failures are genuine occlusions (fg sphere against the
+    # room) and roundtrips that exit the view mid-cycle
+    assert (flow_full[..., 2] > 0.8)[in_frame].mean() > 0.6
+    c2r = np.load(f"{out}/Annotations/Full-Resolution/{seq}/full-64-crop2raw.npy")
+    assert c2r.shape == (n, 4)
+    # full-frame crop params: half-length (95//2)=47 -> fl = 2*47/64
+    np.testing.assert_allclose(c2r[0], [2 * 47 / 64, 2 * 47 / 64, 0, 0], atol=1e-5)
+
+
+def test_camera_registration_recovers_orbit(raw_scene):
+    from preprocess.scripts.camera_registration import camera_registration
+
+    out, seq = raw_scene["outdir"], raw_scene["seqname"]
+    cams = camera_registration(seq, 0, out, crop_size=96)
+    gt = raw_scene["rts"]
+    n = len(gt)
+    assert cams.shape == (n, 4, 4)
+    # compare chained relative rotations against GT (gauge-free)
+    for t in range(n - 1):
+        rel = cams[t + 1][:3, :3] @ cams[t][:3, :3].T
+        rel_gt = gt[t + 1][:3, :3] @ gt[t][:3, :3].T
+        assert rot_angle_deg(rel, rel_gt) < 3.0
+    # translation direction parity for one step
+    rel_t = (cams[1] @ np.linalg.inv(cams[0]))[:3, 3]
+    rel_t_gt = (gt[1] @ np.linalg.inv(gt[0]))[:3, 3]
+    cos = rel_t @ rel_t_gt / (np.linalg.norm(rel_t) * np.linalg.norm(rel_t_gt) + 1e-9)
+    assert cos > 0.9
+
+
+def test_tsdf_fusion_reconstructs_room(raw_scene):
+    from preprocess.scripts.camera_registration import camera_registration
+    from preprocess.scripts.tsdf_fusion import tsdf_fusion
+
+    out, seq = raw_scene["outdir"], raw_scene["seqname"]
+    # ensure cameras exist (fresh: registration may have already run)
+    cam_path = f"{out}/Cameras/Full-Resolution/{seq}/00.npy"
+    if not os.path.exists(cam_path):
+        camera_registration(seq, 0, out, crop_size=96)
+    mesh = tsdf_fusion(seq, 0, out, crop_size=96, voxel_size=0.25)
+    assert len(mesh.vertices) > 100
+    radii = np.linalg.norm(mesh.vertices, axis=-1)
+    # visible bg shell sits at radius ~6 (scene scale is gauge-true since
+    # registration consumed GT depth)
+    assert 4.0 < np.median(radii) < 8.0
+    assert os.path.exists(f"{out}/Cameras/Full-Resolution/{seq}/mesh-00-centered.obj")
+
+
+def test_canonical_registration(raw_scene):
+    from preprocess.scripts.camera_registration import camera_registration
+    from preprocess.scripts.canonical_registration import canonical_registration
+
+    out, seq = raw_scene["outdir"], raw_scene["seqname"]
+    cam_path = f"{out}/Cameras/Full-Resolution/{seq}/01.npy"
+    if not os.path.exists(cam_path):
+        camera_registration(seq, 1, out, crop_size=96)
+    # manual annotations at two key frames from GT
+    import json
+
+    gt = raw_scene["rts"]
+    cam_dir = f"{out}/Cameras/Full-Resolution/{seq}"
+    with open(f"{cam_dir}/01-manual.json", "w") as f:
+        json.dump({0: gt[0].tolist(), 5: gt[5].tolist()}, f)
+    cams = canonical_registration(seq, 96, "other", outdir=out)
+    n = len(gt)
+    assert cams.shape == (n, 4, 4)
+    for t in range(n):
+        assert rot_angle_deg(cams[t][:3, :3], gt[t][:3, :3]) < 12.0
+    # bbox-heuristic depth is positive and bounded
+    assert (cams[:, 2, 3] > 0).all() and (cams[:, 2, 3] <= 10).all()
+
+
+def test_feature_extraction(raw_scene, tmp_path):
+    from preprocess.backends.feat_backends import extract_features_collection
+    from preprocess.libs.io import frame_list
+
+    out, seq = raw_scene["outdir"], raw_scene["seqname"]
+    paths = frame_list(out, seq)[:4]
+    feats = extract_features_collection([paths], 64, False, 1)
+    (f,) = feats
+    assert f.shape == (4, 112, 112, 16)
+    norms = np.linalg.norm(f.astype(np.float32), axis=-1)
+    inside = norms > 0.5
+    assert inside.mean() > 0.05  # masked object region carries unit features
+    np.testing.assert_allclose(norms[inside], 1.0, atol=2e-2)
+
+
+def test_segmentation_grabcut_moving_object(tmp_path):
+    from preprocess.backends.seg_backends import segment_video_grabcut
+
+    # slow orbit: realistic inter-frame motion for the classical backend
+    scene = make_raw_scene(
+        str(tmp_path), num_frames=4, res=96, orbit_span=0.06,
+        write_masks=False, write_depth=False, write_flow=False,
+    )
+    rgbs = (scene["rgbs"] * 255).astype(np.uint8)
+    masks = segment_video_grabcut([rgbs[i] for i in range(4)], res=96)
+    gt = scene["masks"][:4]
+    ious = []
+    for m, g in zip(masks, gt):
+        inter = np.logical_and(m > 0, g).sum()
+        union = np.logical_or(m > 0, g).sum()
+        ious.append(inter / max(union, 1))
+    # classical motion segmentation is approximate; require overlap signal
+    assert max(ious) > 0.3
+
+
+def test_write_config(raw_scene):
+    from preprocess.scripts.write_config import write_config
+
+    root = raw_scene["root"]
+    n = write_config("rawsim", root)
+    assert n == 1
+    cfg = open(f"{root}/configs/rawsim.config").read()
+    assert "img_path" in cfg and "ks = 96 96 48 48" in cfg
