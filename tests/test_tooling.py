@@ -1,0 +1,99 @@
+"""Tests for the visualization / packaging / regression tooling."""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_rasterizer_sphere_coverage():
+    from lab4d_tpu.meshlib import uv_sphere
+    from lab4d_tpu.utils.raster import look_at, render_mesh
+
+    m = uv_sphere(radius=0.5, count=[16, 16])
+    K = np.array([128.0, 128.0, 64.0, 64.0])
+    img = render_mesh(
+        np.asarray(m.vertices), np.asarray(m.faces),
+        look_at([0, 0, -2.0]), K, res=128,
+    )
+    assert img.shape == (128, 128, 3)
+    covered = img.mean(-1) < 0.95
+    # projected sphere radius = f * r / d = 128*0.5/2 = 32 px -> area ~ pi*32^2
+    frac = covered.mean()
+    assert 0.15 < frac < 0.25
+    # center is lit, corners are background
+    assert img[64, 64].mean() < 0.95
+    assert img[2, 2].mean() > 0.99
+
+
+def test_render_intermediate(tmp_path):
+    from lab4d_tpu.meshlib import uv_sphere
+    from scripts.render_intermediate import render_intermediate
+
+    run_dir = str(tmp_path)
+    for r in range(3):
+        uv_sphere(radius=0.3 + 0.1 * r, count=[8, 8]).export(
+            f"{run_dir}/{r:03d}-fg-proxy.obj"
+        )
+    frames = render_intermediate(run_dir, "fg", res=96)
+    assert len(frames) == 3
+    assert frames[0].shape == (96, 96, 3)
+
+
+def test_create_collage(tmp_path):
+    import imageio
+
+    from scripts.create_collage import create_collage
+
+    for k in range(3):
+        d = tmp_path / f"clip{k}"
+        d.mkdir()
+        for t in range(4):
+            imageio.imwrite(
+                str(d / f"{t:05d}.png"),
+                np.full((32, 32, 3), 50 * k + 10 * t, np.uint8),
+            )
+    out = create_collage(str(tmp_path / "clip*"), str(tmp_path / "out.mp4"))
+    assert out is not None
+
+
+def test_compute_diff(tmp_path):
+    from scripts.compute_diff import compute_diff
+
+    a, b = tmp_path / "a", tmp_path / "b"
+    (a / "sub").mkdir(parents=True)
+    (b / "sub").mkdir(parents=True)
+    np.save(a / "sub" / "x.npy", np.ones(4))
+    np.save(b / "sub" / "x.npy", np.ones(4))
+    assert compute_diff(str(a), str(b)) == []
+    np.save(b / "sub" / "x.npy", np.ones(4) * 2)
+    np.save(b / "sub" / "y.npy", np.ones(4))
+    fails = compute_diff(str(a), str(b))
+    assert len(fails) == 2
+
+
+def test_browser_index(tmp_path, monkeypatch):
+    import imageio
+
+    from browser.app import build_index
+
+    d = tmp_path / "logdir" / "run1"
+    d.mkdir(parents=True)
+    imageio.mimwrite(str(d / "rgb.gif"), [np.zeros((8, 8, 3), np.uint8)] * 2)
+    page = build_index(str(tmp_path))
+    assert "rgb.gif" in page and "<html" in page
+
+
+def test_zip_tools(tmp_path, monkeypatch):
+    from scripts.zip_logdir import zip_logdir
+
+    run = tmp_path / "logdir" / "seq-run"
+    run.mkdir(parents=True)
+    (run / "opts.log").write_text("--seqname=seq")
+    monkeypatch.chdir(tmp_path)
+    out = zip_logdir(str(run), str(tmp_path / "out.zip"))
+    import zipfile
+
+    assert zipfile.ZipFile(out).namelist() == ["seq-run/opts.log"]
