@@ -63,6 +63,27 @@ class Deformable(FeatureNeRF):
         )
         return self.field_to_cam(xyz_next, field2cam)
 
+    def prepare_forward_warp(self, xyz, inst_id, samples_dict):
+        """Precompute forward-skin weights once for the flow + cycle paths.
+
+        Valid only for the plain SkinningWarp: its forward skin is a
+        function of (canonical xyz, rest articulation, mean time embedding,
+        inst) — none of which differ between the two call sites.
+        ComposedWarp post-warps the points per frame first, so it is
+        excluded.
+        """
+        if (
+            type(self.warp) is SkinningWarp
+            and samples_dict is not None
+            and "rest_articulation" in samples_dict
+        ):
+            skin, delta = self.warp.skinning_model(
+                xyz, samples_dict["rest_articulation"], None, inst_id
+            )
+            samples_dict = dict(samples_dict)
+            samples_dict["fwd_skin"] = (skin, delta)
+        return samples_dict
+
     # --------------------------------------------------------------- losses
 
     def cycle_loss(self, xyz, xyz_t, frame_id, inst_id, samples_dict=None, train=True):

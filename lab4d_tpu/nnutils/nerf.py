@@ -156,8 +156,11 @@ class NeRF(nn.Module):
             dir_embed = self.dir_embedding(dir, alpha=None)
             if self.appr_channels > 0:
                 appr = self.appr_embedding.get_vals(frame_id)
+                appr = appr.reshape(
+                    appr.shape[:1] + (1,) * (dir_embed.ndim - 2) + appr.shape[-1:]
+                )
                 appr = jnp.broadcast_to(
-                    appr[:, None, None, :], dir_embed.shape[:-1] + appr.shape[-1:]
+                    appr, dir_embed.shape[:-1] + appr.shape[-1:]
                 )
                 appr_embed = jnp.concatenate([dir_embed, appr], axis=-1)
             else:
@@ -261,6 +264,7 @@ class NeRF(nn.Module):
                     feat_dict[k] = feat_dict[k] * valid[..., None]
 
         if train:
+            samples_dict = self.prepare_forward_warp(xyz, inst_id, samples_dict)
             flow_dict = self.compute_flow(
                 hxy, xyz, frame_id, inst_id, field2cam, Kinv, samples_dict,
                 flow_thresh=flow_thresh,
@@ -340,11 +344,22 @@ class NeRF(nn.Module):
     def query_nerf(self, xyz, dir, frame_id, inst_id, sched=None, train=True):
         """Dense field evaluation; the valid-idx sparsification of the
         reference (nerf.py:769-819) is intentionally dropped — masked dense
-        compute is faster on TPU than gather/scatter compaction."""
+        compute is faster on TPU than gather/scatter compaction.
+
+        Points are flattened to (M, N*D, 3) for the MLP chain: keeping the
+        per-point tensors 2-D-ish avoids XLA relayout copies between the
+        embeddings and the fused kernels (profiled at ~14 ms/step on the
+        4-D layout)."""
+        lead = xyz.shape[:-1]
+        M = xyz.shape[0]
+        xyz_f = xyz.reshape(M, -1, 3)
+        dir_f = dir.reshape(M, -1, 3) if dir is not None else None
         rgb, density = self.forward(
-            xyz, dir=dir, frame_id=frame_id, inst_id=inst_id, sched=sched,
+            xyz_f, dir=dir_f, frame_id=frame_id, inst_id=inst_id, sched=sched,
             train=train,
         )
+        rgb = rgb.reshape(lead + rgb.shape[-1:])
+        density = density.reshape(lead + density.shape[-1:])
         return {"rgb": rgb, "density": density, f"density_{self.category}": density}
 
     # -------------------------------------------------------------- warping
@@ -371,6 +386,11 @@ class NeRF(nn.Module):
         xyz, dir = self.cam_to_field(xyz_cam, dir_cam, field2cam)
         return {"xyz": xyz, "dir": dir, "xyz_t": xyz}
 
+    def prepare_forward_warp(self, xyz, inst_id, samples_dict):
+        """Hook: subclasses may precompute forward-warp state shared by the
+        flow and cycle paths (no-op for rigid fields)."""
+        return samples_dict
+
     def forward_warp(self, xyz, field2cam, frame_id, inst_id, samples_dict=None):
         return self.field_to_cam(xyz, field2cam)
 
@@ -389,6 +409,12 @@ class NeRF(nn.Module):
             {k: v for k, v in samples_dict.items() if k in
              ("t_articulation", "rest_articulation")}
         )
+        if "fwd_skin" in samples_dict:
+            # skin weights live at the (unflipped) canonical points and are
+            # computed from the rest articulation + mean time embedding,
+            # which are identical within a pair — valid for the flipped
+            # target frame without reordering
+            samples_dict_next["fwd_skin"] = samples_dict["fwd_skin"]
 
         xyz_cam_next = self.forward_warp(
             xyz, field2cam_next, frame_id_next, inst_id,

@@ -174,17 +174,23 @@ class SkinningWarp(IdentityWarp):
             articulation = rest_articulation
             frame_id = None
 
-        B = articulation[0].shape[-2]
-        arti_exp = (
-            jnp.broadcast_to(
-                articulation[0][:, None, None], xyz.shape[:3] + (B, 4)
-            ),
-            jnp.broadcast_to(
-                articulation[1][:, None, None], xyz.shape[:3] + (B, 4)
-            ),
-        )
-
-        skin, delta_skin = self.skinning_model(xyz, arti_exp, frame_id, inst_id)
+        # articulation stays per-pair (M, B, 4); get_bone_coords applies it
+        # to the (M, N, D, 3) samples as a batched matmul without
+        # materializing sample-resolution quaternion arrays
+        #
+        # forward-warp skin weights depend only on (xyz, rest articulation,
+        # mean time embedding, inst) — the flow and cycle paths query them
+        # at the same canonical points, so the field caches them once in
+        # samples_dict["fwd_skin"] (Deformable.prepare_forward_warp)
+        cached = None
+        if not backward and samples_dict is not None:
+            cached = samples_dict.get("fwd_skin")
+        if cached is not None:
+            skin, delta_skin = cached
+        else:
+            skin, delta_skin = self.skinning_model(
+                xyz, articulation, frame_id, inst_id
+            )
         skin_prob = jax.nn.softmax(skin, axis=-1)
         out = dual_quaternion_skinning(se3, xyz, skin_prob)
 

@@ -38,6 +38,13 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _dot(a, b):
+    """MXU matmul with f32 accumulation. Measured: the kernel is VMEM-IO
+    bound at these widths (W=128..256), so bf16 inputs don't change its
+    runtime — keep f32 for exactness against the jnp oracle."""
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
 def _pad_rows(x, tile):
     P = x.shape[0]
     pad = (-P) % tile
@@ -59,7 +66,7 @@ def _fwd_kernel(x_ref, *refs, n_layers: int, skip_idx: Tuple[int, ...]):
         b = refs[2 * i + 1][:]
         if i in skip_idx:
             h = jnp.concatenate([x, h], axis=-1)
-        h = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
+        h = _dot(h, w) + b
         if i < n_layers - 1:
             h = jnp.maximum(h, 0.0)
     out_ref[:] = h
@@ -139,7 +146,7 @@ def _bwd_kernel(
             h = jnp.concatenate([x, h], axis=-1)
         layer_inputs.append(h)
         b = refs[2 * i + 1][:]
-        h = jnp.dot(h, w_refs[i][:], preferred_element_type=jnp.float32) + b
+        h = _dot(h, w_refs[i][:]) + b
         if i < n_layers - 1:
             h = jnp.maximum(h, 0.0)
 
@@ -156,13 +163,9 @@ def _bwd_kernel(
         inp = layer_inputs[i]
         if i < n_layers - 1:
             g = g * (relu_out(i) > 0.0)
-        dw_refs[i][:] += jnp.dot(
-            inp.T, g, preferred_element_type=jnp.float32
-        )
+        dw_refs[i][:] += _dot(inp.T, g)
         db_refs[i][:] += jnp.sum(g, axis=0, keepdims=True)
-        g = jnp.dot(
-            g, w_refs[i][:].T, preferred_element_type=jnp.float32
-        )
+        g = _dot(g, w_refs[i][:].T)
         if i in skip_idx:
             dx_acc = dx_acc + g[:, : x.shape[1]]
             g = g[:, x.shape[1]:]

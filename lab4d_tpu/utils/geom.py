@@ -146,29 +146,43 @@ def dual_quaternion_skinning(
     pts = pts.reshape(M, -1, 3)
     skin = skin.reshape(M, -1, B)  # (M, P, B)
 
-    qr = dual_quat[0][:, None]  # (M, 1, B, 4)
-    qd = dual_quat[1][:, None]
+    qr = dual_quat[0]  # (M, B, 4)
+    qd = dual_quat[1]
 
-    # hemisphere fix: sign-align each bone quaternion with the anchor bone
-    anchor = jnp.argmax(skin, axis=-1)  # (M, P)
-    qr_anchor = jnp.take_along_axis(
-        jnp.broadcast_to(qr, (M, skin.shape[1], B, 4)),
-        anchor[..., None, None].repeat(4, -1),
-        axis=2,
-    )  # (M, P, 1, 4)
-    sign = jnp.where(jnp.sum(qr_anchor * qr, -1) > 0, 1.0, -1.0)[..., None]
+    # hemisphere fix: sign-align each bone quaternion with the per-point
+    # anchor (dominant) bone. Routed through matmuls so the MXU does the
+    # per-point work instead of gathers: sign_ab = sign(q_a . q_b) is a
+    # tiny (M, B, B) table; the per-point row is selected with a one-hot
+    # of the argmax and applied inside the blend matmul.
+    sign_tab = jnp.where(
+        jnp.einsum("mia,mja->mij", qr, qr) > 0, 1.0, -1.0
+    )  # (M, B, B)
+    onehot = jax.nn.one_hot(jnp.argmax(skin, -1), B, dtype=skin.dtype)
+    sign = onehot @ sign_tab  # (M, P, B)
 
-    qr_s = sign * qr
-    qd_s = sign * qd
-    qr_w = jnp.einsum("mpb,mpbl->mpl", skin, qr_s)
-    qd_w = jnp.einsum("mpb,mpbl->mpl", skin, qd_s)
+    sw = skin * sign
+    qr_w = sw @ qr  # (M, P, 4) blend as batched matmul
+    qd_w = sw @ qd
 
     inv_mag = jax.lax.rsqrt(jnp.maximum(jnp.sum(qr_w * qr_w, -1, keepdims=True), 1e-12))
     qr_w = qr_w * inv_mag
     qd_w = qd_w * inv_mag
 
-    q, t = dual_quaternion_to_quaternion_translation((qr_w, qd_w))
-    out = quaternion_apply(q, pts) + t
+    # apply the blended dual quaternion in component (SoA) form — keeps
+    # the vector units on (M, P) planes instead of (..., 3/4) stubs
+    w, x, y, z = (qr_w[..., i] for i in range(4))
+    px, py, pz = (pts[..., i] for i in range(3))
+    cx = y * pz - z * py + w * px
+    cy = z * px - x * pz + w * py
+    cz = x * py - y * px + w * pz
+    rx = px + 2 * (y * cz - z * cy)
+    ry = py + 2 * (z * cx - x * cz)
+    rz = pz + 2 * (x * cy - y * cx)
+    dw, dx, dy, dz = (qd_w[..., i] for i in range(4))
+    tx = 2 * (-dw * x + dx * w - dy * z + dz * y)
+    ty = 2 * (-dw * y + dx * z + dy * w - dz * x)
+    tz = 2 * (-dw * z - dx * y + dy * x + dz * w)
+    out = jnp.stack([rx + tx, ry + ty, rz + tz], -1)
     return out.reshape(shape)
 
 
@@ -220,25 +234,49 @@ def se3_mat2rt(mat: jnp.ndarray):
 def get_bone_coords(xyz: jnp.ndarray, bone2obj: DualQuaternion) -> jnp.ndarray:
     """Transform points into each bone's local frame.
 
-    Parity: lab4d/utils/transforms.py:9-25.
+    Parity: lab4d/utils/transforms.py:9-25. The bone transforms may carry
+    FEWER leading dims than the points (e.g. per-pair (M, B, 4) bones vs
+    (M, N, D, 3) samples); the rotation is applied as a batched
+    einsum/matmul against per-bone rotation matrices rather than
+    broadcasting AoS quaternions to sample resolution (which materializes
+    huge (4, ..., B) intermediates on TPU).
 
     Args:
-        xyz: (..., 3); bone2obj: ((..., B, 4), (..., B, 4))
+        xyz: (..., 3); bone2obj: ((..., B, 4), (..., B, 4)) with the bone
+            leading dims a prefix-broadcastable shape of xyz's leading dims
     Returns:
         (..., B, 3) points in bone coordinates
     """
-    from lab4d_tpu.utils.quat import dual_quaternion_inverse, dual_quaternion_apply
+    from lab4d_tpu.utils.quat import (
+        dual_quaternion_to_quaternion_translation,
+        quaternion_to_matrix,
+    )
 
-    obj2bone = dual_quaternion_inverse(bone2obj)
-    B = bone2obj[0].shape[-2]
-    xyz_b = jnp.broadcast_to(xyz[..., None, :], xyz.shape[:-1] + (B, 3))
-    return dual_quaternion_apply(obj2bone, xyz_b)
+    q, t = dual_quaternion_to_quaternion_translation(bone2obj)
+    R = quaternion_to_matrix(q)  # (..., B, 3, 3) bone -> obj
+    # obj2bone: R^T (x - t). Contract over j with R (not R^T) by index
+    # placement: out[..., b, i] = sum_j R[..., b, j, i] * (x[..., j] - t)
+    n_lead = R.ndim - 3  # leading dims carried by the bones
+    lead_shape = xyz.shape[:n_lead]
+    R = jnp.broadcast_to(R, lead_shape + R.shape[n_lead:])
+    t = jnp.broadcast_to(t, lead_shape + t.shape[n_lead:])
+    lead = "ABCDE"[:n_lead]
+    xr = jnp.einsum(f"{lead}...j,{lead}bji->{lead}...bi", xyz, R)
+    tr = jnp.einsum(f"{lead}bj,{lead}bji->{lead}bi", t, R)
+    tr = tr.reshape(tr.shape[:n_lead] + (1,) * (xr.ndim - tr.ndim) + tr.shape[n_lead:])
+    return xr - tr
 
 
 def get_xyz_bone_distance(xyz: jnp.ndarray, bone2obj: DualQuaternion) -> jnp.ndarray:
     """Squared distance from points to bone centers.
 
-    Parity: lab4d/utils/transforms.py:28-40.
+    Parity: lab4d/utils/transforms.py:28-40. Bones may carry fewer leading
+    dims than points (see get_bone_coords).
     """
     _, center = dual_quaternion_to_quaternion_translation(bone2obj)
+    n_lead = center.ndim - 2
+    pad = xyz.ndim - 1 - n_lead  # point dims beyond the shared lead
+    center = center.reshape(
+        center.shape[:n_lead] + (1,) * pad + center.shape[n_lead:]
+    )
     return jnp.sum((xyz[..., None, :] - center) ** 2, axis=-1)
