@@ -41,15 +41,24 @@ class BaseMLP(nn.Module):
         x: jnp.ndarray,
         fused: Optional[bool] = None,
         const_code: Optional[jnp.ndarray] = None,
+        pe_spec=None,
     ) -> jnp.ndarray:
         """const_code: optional (C,) conditioning vector that is constant
         across points — treated as if concatenated to x at the input and at
         every skip layer, but algebraically folded into the biases instead
         of materializing a (P, C) broadcast + concat (a measured ~6 ms/step
-        relayout on TPU). Parameter shapes are identical either way."""
+        relayout on TPU). Parameter shapes are identical either way.
+
+        pe_spec: optional (freqs tuple, window) — x is then RAW coordinates
+        and the Fourier embedding happens inside the fused kernel (or
+        inline for the jnp path); the params consume the embedded width."""
         if x.shape[-1] == 0 and const_code is None:
             return x
-        feat_ch = x.shape[-1]
+        if pe_spec is not None:
+            pe_freqs, pe_window = pe_spec
+            feat_ch = x.shape[-1] * (2 * len(pe_freqs) + 1)
+        else:
+            feat_ch = x.shape[-1]
         code_ch = 0 if const_code is None else const_code.shape[-1]
         in_ch = feat_ch + code_ch
         dense_init = nn.initializers.lecun_normal()
@@ -98,14 +107,26 @@ class BaseMLP(nn.Module):
             fused and _fused_enabled()
         )
         if use_fused:
-            from lab4d_tpu.ops.mlp_kernel import fused_relu_mlp
+            flat = x.reshape(-1, x.shape[-1])
+            if pe_spec is not None:
+                from lab4d_tpu.ops.mlp_kernel import fused_pe_mlp
 
-            flat = x.reshape(-1, in_ch)
-            out = fused_relu_mlp(
-                flat, weights, biases, tuple(self.skips), self.final_act
-            )
+                out = fused_pe_mlp(
+                    flat, pe_window, weights, biases, pe_freqs,
+                    tuple(self.skips), self.final_act,
+                )
+            else:
+                from lab4d_tpu.ops.mlp_kernel import fused_relu_mlp
+
+                out = fused_relu_mlp(
+                    flat, weights, biases, tuple(self.skips), self.final_act
+                )
             return out.reshape(x.shape[:-1] + (self.out_channels,))
 
+        if pe_spec is not None:
+            from lab4d_tpu.nnutils.embedding import fourier_embed
+
+            x = fourier_embed(x, pe_freqs, pe_window)
         out = x
         for i in range(self.D):
             if i in self.skips:
@@ -148,15 +169,17 @@ class CondMLP(nn.Module):
         beta_prob=None,
         train: bool = False,
         fused: Optional[bool] = None,
+        pe_spec=None,
     ) -> jnp.ndarray:
         """Args:
-            feat: (M, ..., in_channels)
+            feat: (M, ..., in_channels) — RAW coordinates when pe_spec is
+                given (the backbone embeds them in-kernel)
             inst_id: (M,) instance ids or None (mean instance)
         """
         if self.inst_channels == 0:
             if feat.shape[-1] == 0:
                 return feat
-            return self.backbone(feat, fused=fused)
+            return self.backbone(feat, fused=fused, pe_spec=pe_spec)
 
         # constant-code fast path: a single morphology (or the mean code)
         # conditions every point identically, so the code folds into the
@@ -178,8 +201,14 @@ class CondMLP(nn.Module):
                     out.reshape((1,) * (feat.ndim - 1) + out.shape[-1:]),
                     feat.shape[:-1] + out.shape[-1:],
                 )
-            return self.backbone(feat, fused=fused, const_code=code)
+            return self.backbone(
+                feat, fused=fused, const_code=code, pe_spec=pe_spec
+            )
 
+        if pe_spec is not None:  # per-point codes: embed inline, then concat
+            from lab4d_tpu.nnutils.embedding import fourier_embed
+
+            feat = fourier_embed(feat, pe_spec[0], pe_spec[1])
         code = self.inst_embedding(inst_id, beta_prob=beta_prob, train=train)
         code = code.reshape(code.shape[:1] + (1,) * (feat.ndim - 2) + (-1,))
         inst_code = jnp.broadcast_to(
@@ -187,3 +216,28 @@ class CondMLP(nn.Module):
         )
         x = jnp.concatenate([feat, inst_code], axis=-1)
         return self.backbone(x, fused=fused)
+
+
+def embed_cond_mlp(
+    cond_mlp,
+    pos_embedding,
+    x,
+    alpha=None,
+    inst_id=None,
+    beta_prob=None,
+    train: bool = False,
+    fused=None,
+):
+    """Run PosEmbedding + CondMLP, routing the embedding into the PE-fused
+    kernel when possible (the (P, C_embed) feature matrix then never
+    touches HBM)."""
+    spec = pos_embedding.pe_spec(alpha)
+    if spec is None:
+        feat = pos_embedding(x, alpha=alpha)
+        return cond_mlp(
+            feat, inst_id, beta_prob=beta_prob, train=train, fused=fused
+        )
+    return cond_mlp(
+        x, inst_id, beta_prob=beta_prob, train=train, fused=fused,
+        pe_spec=spec,
+    )

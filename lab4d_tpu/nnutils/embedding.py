@@ -69,6 +69,25 @@ def fourier_embed_dim(in_channels: int, n_freqs: int) -> int:
     return in_channels * (2 * n_freqs + 1)
 
 
+def fourier_embed(x: jnp.ndarray, freqs, window=None) -> jnp.ndarray:
+    """Fourier features in the PE-fused-kernel layout
+    [x, sin blocks (F x C), cos blocks (F x C)], with an optional (F,)
+    annealing window. The jnp twin of the kernel's in-VMEM embedding —
+    any module routing through BaseMLP's pe_spec path uses THIS layout
+    (it differs from PosEmbedding.__call__'s interleaved sin/cos order;
+    the two are separate parameterizations, never mixed)."""
+    freqs_arr = jnp.asarray(freqs, jnp.float32)
+    ang = x[..., None, :] * freqs_arr[:, None]  # (..., F, C)
+    sin_b, cos_b = jnp.sin(ang), jnp.cos(ang)
+    if window is not None:
+        sin_b = sin_b * window[:, None]
+        cos_b = cos_b * window[:, None]
+    flat_shape = x.shape[:-1] + (len(freqs) * x.shape[-1],)
+    return jnp.concatenate(
+        [x, sin_b.reshape(flat_shape), cos_b.reshape(flat_shape)], axis=-1
+    )
+
+
 class PosEmbedding:
     """Fourier features (x, sin(2^k x), cos(2^k x), ...) with an optional
     coarse-to-fine annealing window.
@@ -87,6 +106,23 @@ class PosEmbedding:
             else:
                 self.freq_bands = np.linspace(1, 2 ** (n_freqs - 1), n_freqs)
             self.freq_bands = self.freq_bands.astype(np.float32)
+
+    def get_window(self, alpha: Optional[jnp.ndarray]):
+        """Per-frequency annealing weights (F,), or None when alpha is None
+        (full bands). Used to hand the embedding to the PE-fused kernel."""
+        if alpha is None or self.n_freqs <= 0:
+            return None
+        window = jnp.clip(
+            alpha * self.n_freqs - jnp.arange(self.n_freqs), 0.0, 1.0
+        )
+        return 0.5 * (1 + jnp.cos(jnp.pi * window + jnp.pi))
+
+    def pe_spec(self, alpha: Optional[jnp.ndarray]):
+        """(freqs tuple, window) for BaseMLP's fused PE path, or None when
+        this embedding is an identity/empty map."""
+        if self.n_freqs <= 0:
+            return None
+        return (tuple(float(f) for f in self.freq_bands), self.get_window(alpha))
 
     def __call__(self, x: jnp.ndarray, alpha: Optional[jnp.ndarray] = None):
         """Args:

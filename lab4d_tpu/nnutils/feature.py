@@ -54,7 +54,11 @@ class FeatureNeRF(NeRF):
 
     def compute_feat(self, xyz):
         """Normalized canonical feature at points (feature.py:136-150)."""
-        feat = self.feature_field(self.feat_pos_embedding(xyz))
+        spec = self.feat_pos_embedding.pe_spec(None)
+        if spec is None:
+            feat = self.feature_field(self.feat_pos_embedding(xyz))
+        else:
+            feat = self.feature_field(xyz, pe_spec=spec)
         from lab4d_tpu.utils.geom import safe_norm
 
         feat = feat / jnp.maximum(safe_norm(feat), 1e-6)

@@ -47,8 +47,10 @@ class MultiFields(nn.Module):
                 frame_info=self.frame_info,
                 rtmat_init=rtmat,
                 num_inst=self.num_inst,
-                D=8,
-                W=256,
+                # reference fg Deformable keeps the NeRF defaults D=5 W=128
+                # (multifields.py:77-84, nerf.py:65-66)
+                D=5,
+                W=128,
                 num_freq_dir=-1,
                 appr_channels=32,
                 init_scale=0.2,

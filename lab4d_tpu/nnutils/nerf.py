@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from lab4d_tpu.nnutils.appearance import AppearanceEmbedding
-from lab4d_tpu.nnutils.base import CondMLP
+from lab4d_tpu.nnutils.base import CondMLP, embed_cond_mlp
 from lab4d_tpu.nnutils.embedding import FrameInfo, PosEmbedding
 from lab4d_tpu.nnutils.pose import CameraMLP
 from lab4d_tpu.nnutils.visibility import VisField
@@ -138,9 +138,9 @@ class NeRF(nn.Module):
         """
         alpha = None if sched is None else sched.get("alpha")
         beta_prob = None if sched is None else sched.get("beta_prob")
-        xyz_embed = self.pos_embedding(xyz, alpha=alpha)
-        xyz_feat = self.basefield(
-            xyz_embed, inst_id, beta_prob=beta_prob, train=train, fused=fused
+        xyz_feat = embed_cond_mlp(
+            self.basefield, self.pos_embedding, xyz, alpha=alpha,
+            inst_id=inst_id, beta_prob=beta_prob, train=train, fused=fused,
         )
 
         sdf = self.sdf_head(xyz_feat)  # negative inside
@@ -166,9 +166,9 @@ class NeRF(nn.Module):
             else:
                 appr_embed = dir_embed
 
-            xyz_embed_c = self.pos_embedding_color(xyz, alpha=alpha)
-            xyz_feat = xyz_feat + self.colorfield(
-                xyz_embed_c, inst_id, beta_prob=beta_prob, train=train,
+            xyz_feat = xyz_feat + embed_cond_mlp(
+                self.colorfield, self.pos_embedding_color, xyz, alpha=alpha,
+                inst_id=inst_id, beta_prob=beta_prob, train=train,
                 fused=fused,
             )
             rgb = self.rgb_head[1](

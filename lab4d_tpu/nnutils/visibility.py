@@ -5,7 +5,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import flax.linen as nn
 
-from lab4d_tpu.nnutils.base import CondMLP
+from lab4d_tpu.nnutils.base import CondMLP, embed_cond_mlp
 from lab4d_tpu.nnutils.embedding import PosEmbedding
 
 
@@ -30,4 +30,6 @@ class VisField(nn.Module):
         )
 
     def __call__(self, xyz: jnp.ndarray, inst_id=None) -> jnp.ndarray:
-        return self.basefield(self.pos_embedding(xyz), inst_id)
+        return embed_cond_mlp(
+            self.basefield, self.pos_embedding, xyz, inst_id=inst_id
+        )

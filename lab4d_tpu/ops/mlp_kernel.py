@@ -275,3 +275,274 @@ def mlp_reference(x, weights, biases, skip_idx=(), final_act=False):
     if final_act:
         h = jnp.maximum(h, 0.0)
     return h
+
+
+# ----------------------------------------------------- PE-fused MLP kernel
+
+
+def _pe_tables(freqs, C):
+    """Per-column frequency scales for the lane-wide embedding.
+
+    Embedding layout (shared with embedding.fourier_embed):
+        [x (C), sin blocks (F x C), cos blocks (F x C)]
+    The angles are computed ELEMENTWISE (tiled x * freq columns) and sin /
+    cos are two wide transcendental ops over (T, FC) — no MXU matmuls and
+    no phase additions, both of which lose precision that sin() at
+    |ang| ~ 2^F amplifies catastrophically.
+    """
+    freq_col = np.repeat(np.asarray(freqs, np.float32), C)[None]  # (1, FC)
+    return freq_col
+
+
+def _pe_win_cols(window, C, F):
+    """(F,) annealing window -> per-embedding-column weights (1, 2FC)."""
+    per_freq = jnp.repeat(window.reshape(-1), C)
+    return jnp.concatenate([per_freq, per_freq]).reshape(1, -1)
+
+
+def _pe_build(x, freq_ref, win_ref, n_freqs):
+    """Fourier-embed a (T, C) tile in VMEM; returns (X, ang)."""
+    xw = jnp.concatenate([x] * n_freqs, axis=-1)  # (T, FC)
+    ang = xw * freq_ref[:]
+    emb = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+    if win_ref is not None:
+        emb = emb * win_ref[0]
+    return jnp.concatenate([x, emb], axis=-1), ang
+
+
+def _fold_sum_blocks(a, C):
+    """Sum (T, B*C) over its B C-wide blocks with lane-wide pairwise adds."""
+    B = a.shape[1] // C
+    while B > 1:
+        if B % 2:
+            a = jnp.concatenate(
+                [a[:, :C] + a[:, (B - 1) * C :], a[:, C : (B - 1) * C]], axis=-1
+            )
+            B -= 1
+        half = (B // 2) * C
+        a = a[:, :half] + a[:, half:]
+        B //= 2
+    return a
+
+
+def _pe_grad_to_x(x, g_embed, ang, freq_ref, win_ref, n_freqs):
+    """Pull the embedded-space gradient back to raw coordinates."""
+    C = x.shape[1]
+    FC = n_freqs * C
+    gs = g_embed[:, C : C + FC]
+    gc = g_embed[:, C + FC :]
+    if win_ref is not None:
+        gs = gs * win_ref[0, :FC]
+        gc = gc * win_ref[0, FC:]
+    dang = (jnp.cos(ang) * gs - jnp.sin(ang) * gc) * freq_ref[:]
+    return g_embed[:, :C] + _fold_sum_blocks(dang, C)
+
+
+def _pe_fwd_kernel(x_ref, freq_ref, *refs,
+                   n_layers, skip_idx, has_win, n_freqs):
+    out_ref = refs[-1]
+    win_ref = refs[0] if has_win else None
+    wb = refs[1:-1] if has_win else refs[:-1]
+    x, _ = _pe_build(x_ref[:], freq_ref, win_ref, n_freqs)
+    h = x
+    for i in range(n_layers):
+        if i in skip_idx:
+            h = jnp.concatenate([x, h], axis=-1)
+        h = _dot(h, wb[2 * i][:]) + wb[2 * i + 1][:]
+        if i < n_layers - 1:
+            h = jnp.maximum(h, 0.0)
+    out_ref[:] = h
+
+
+def _pe_bwd_kernel(x_ref, g_ref, freq_ref, *refs,
+                   n_layers, skip_idx, has_win, n_freqs):
+    win_ref = refs[0] if has_win else None
+    wb = refs[1:] if has_win else refs
+    num_w = n_layers
+    w_refs = [wb[2 * i] for i in range(num_w)]
+    dx_ref = wb[2 * num_w]
+    dw_refs = [wb[2 * num_w + 1 + i] for i in range(num_w)]
+    db_refs = [wb[2 * num_w + 1 + num_w + i] for i in range(num_w)]
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        for i in range(num_w):
+            dw_refs[i][:] = jnp.zeros_like(dw_refs[i])
+            db_refs[i][:] = jnp.zeros_like(db_refs[i])
+
+    x_raw = x_ref[:]
+    x, ang = _pe_build(x_raw, freq_ref, win_ref, n_freqs)
+    h = x
+    layer_inputs = []
+    for i in range(n_layers):
+        if i in skip_idx:
+            h = jnp.concatenate([x, h], axis=-1)
+        layer_inputs.append(h)
+        h = _dot(h, w_refs[i][:]) + wb[2 * i + 1][:]
+        if i < n_layers - 1:
+            h = jnp.maximum(h, 0.0)
+
+    def relu_out(i):
+        nxt = layer_inputs[i + 1]
+        if (i + 1) in skip_idx:
+            return nxt[:, x.shape[1]:]
+        return nxt
+
+    g = g_ref[:]
+    dX = jnp.zeros_like(x)
+    for i in reversed(range(n_layers)):
+        inp = layer_inputs[i]
+        if i < n_layers - 1:
+            g = g * (relu_out(i) > 0.0)
+        dw_refs[i][:] += _dot(inp.T, g)
+        db_refs[i][:] += jnp.sum(g, axis=0, keepdims=True)
+        g = _dot(g, w_refs[i][:].T)
+        if i in skip_idx:
+            dX = dX + g[:, : x.shape[1]]
+            g = g[:, x.shape[1]:]
+    dX = dX + g
+    dx_ref[:] = _pe_grad_to_x(x_raw, dX, ang, freq_ref, win_ref, n_freqs)
+
+
+def _pe_specs(x, window, weights, biases, freqs, tile):
+    C = x.shape[1]
+    freq_col = _pe_tables(freqs, C)
+    in_specs = [
+        pl.BlockSpec((tile, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(freq_col.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [jnp.asarray(freq_col)]
+    if window is not None:
+        win_cols = _pe_win_cols(window, C, len(freqs))
+        in_specs.append(
+            pl.BlockSpec((1, win_cols.shape[-1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(win_cols)
+    for w, b in zip(weights, biases):
+        in_specs.append(
+            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+        in_specs.append(
+            pl.BlockSpec((1, b.shape[0]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args += [w, b.reshape(1, -1)]
+    return in_specs, args
+
+
+def _pe_fwd(x, window, weights, biases, freqs, skip_idx, final_act):
+    n_layers = len(weights)
+    out_dim = weights[-1].shape[1]
+    xp, P = _pad_rows(x, TILE_P)
+    grid = (xp.shape[0] // TILE_P,)
+    in_specs, args = _pe_specs(x, window, weights, biases, freqs, TILE_P)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _pe_fwd_kernel, n_layers=n_layers, skip_idx=tuple(skip_idx),
+            has_win=window is not None, n_freqs=len(freqs),
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (TILE_P, out_dim), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((xp.shape[0], out_dim), jnp.float32),
+        interpret=_interpret(),
+    )(xp, *args)
+    out = out[:P]
+    if final_act:
+        out = jnp.maximum(out, 0.0)
+    return out
+
+
+def _pe_bwd_call(x, g, window, weights, biases, freqs, skip_idx):
+    n_layers = len(weights)
+    TILE = TILE_P_BWD
+    xp, P = _pad_rows(x, TILE)
+    gp, _ = _pad_rows(g, TILE)
+    grid = (xp.shape[0] // TILE,)
+    in_specs, args = _pe_specs(x, window, weights, biases, freqs, TILE)
+    in_specs.insert(1, pl.BlockSpec((TILE, g.shape[1]), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM))
+
+    out_shapes = [jax.ShapeDtypeStruct((xp.shape[0], x.shape[1]), jnp.float32)]
+    out_specs = [
+        pl.BlockSpec((TILE, x.shape[1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM)
+    ]
+    for w in weights:
+        out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+        out_specs.append(
+            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+    for b in biases:
+        out_shapes.append(jax.ShapeDtypeStruct((1, b.shape[0]), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, b.shape[0]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _pe_bwd_kernel, n_layers=n_layers, skip_idx=tuple(skip_idx),
+            has_win=window is not None, n_freqs=len(freqs),
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        interpret=_interpret(),
+    )(xp, gp, *args)
+    dx = outs[0][:P]
+    dws = outs[1 : 1 + n_layers]
+    dbs = [b.reshape(-1) for b in outs[1 + n_layers :]]
+    return dx, dws, dbs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_pe_mlp(x, window, weights, biases, freqs, skip_idx=(), final_act=False):
+    """Fourier-embed + fused MLP in one kernel pass.
+
+    The embedding (PosEmbedding layout: [x, per-freq sin/cos blocks],
+    optional per-freq annealing window) is computed in VMEM per tile, so
+    the (P, C_embed) feature matrix never exists in HBM.
+
+    Args:
+        x: (P, C) raw coordinates; window: (F,) annealing weights or None
+        weights/biases: MLP params consuming fourier_embed_dim(C, F) inputs
+        freqs: static tuple of frequency band values
+    """
+    return _pe_fwd(x, window, list(weights), list(biases), freqs, skip_idx,
+                   final_act)
+
+
+def _pe_vjp_fwd(x, window, weights, biases, freqs, skip_idx, final_act):
+    out = _pe_fwd(x, window, list(weights), list(biases), freqs, skip_idx,
+                  final_act)
+    return out, (x, window, list(weights), list(biases),
+                 out if final_act else None)
+
+
+def _pe_vjp_bwd(freqs, skip_idx, final_act, res, g):
+    x, window, weights, biases, out = res
+    if final_act:
+        g = g * (out > 0.0)
+    dx, dws, dbs = _pe_bwd_call(x, g, window, weights, biases, freqs, skip_idx)
+    dwin = None if window is None else jnp.zeros_like(window)
+    return dx, dwin, list(dws), list(dbs)
+
+
+fused_pe_mlp.defvjp(_pe_vjp_fwd, _pe_vjp_bwd)
+
+
+def pe_mlp_reference(x, window, weights, biases, freqs, skip_idx=(),
+                     final_act=False):
+    """jnp oracle (layout shared via embedding.fourier_embed)."""
+    from lab4d_tpu.nnutils.embedding import fourier_embed
+
+    embed = fourier_embed(x, freqs, window)
+    return mlp_reference(embed, weights, biases, skip_idx, final_act)
