@@ -42,8 +42,16 @@ class BaseMLP(nn.Module):
         fused: Optional[bool] = None,
         const_code: Optional[jnp.ndarray] = None,
         pe_spec=None,
+        row_code: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        """const_code: optional (C,) conditioning vector that is constant
+        """row_code: optional (M, Cr) conditioning that is constant within
+        each leading-batch row of x (M, ..., Cx) — e.g. per-frame time
+        codes. Treated as concatenated after the features at the input and
+        skip layers, but applied as a low-rank add (row_code @ W_rows,
+        broadcast over the point dims) instead of materializing a (P, Cr)
+        concat. Forces the jnp path (the fused kernels are row-agnostic).
+
+        const_code: optional (C,) conditioning vector that is constant
         across points — treated as if concatenated to x at the input and at
         every skip layer, but algebraically folded into the biases instead
         of materializing a (P, C) broadcast + concat (a measured ~6 ms/step
@@ -59,8 +67,9 @@ class BaseMLP(nn.Module):
             feat_ch = x.shape[-1] * (2 * len(pe_freqs) + 1)
         else:
             feat_ch = x.shape[-1]
+        row_ch = 0 if row_code is None else row_code.shape[-1]
         code_ch = 0 if const_code is None else const_code.shape[-1]
-        in_ch = feat_ch + code_ch
+        in_ch = feat_ch + row_ch + code_ch
         dense_init = nn.initializers.lecun_normal()
 
         # declare parameters (layout identical for both execution paths)
@@ -84,19 +93,25 @@ class BaseMLP(nn.Module):
         weights.append(w)
         biases.append(b)
 
-        if code_ch > 0:
-            # fold the code rows of each consuming layer into its bias
-            code = const_code.reshape(code_ch)
+        row_adds = {}  # layer index -> (M, W) per-row addend
+        if code_ch > 0 or row_ch > 0:
+            # fold the code rows of each consuming layer into its bias and
+            # extract the per-row (low-rank) weight blocks
+            code = None if const_code is None else const_code.reshape(code_ch)
             folded_w, folded_b = [], []
             for i, (w_i, b_i) in enumerate(zip(weights, biases)):
                 takes_input = i == 0 or (i < self.D and i in self.skips)
                 if takes_input:
-                    # the input block [feat, code] leads the concat [x, h]
+                    # the input block [feat, row, code] leads the concat
                     w_feat = w_i[:feat_ch]
-                    w_code = w_i[feat_ch:in_ch]
+                    w_row = w_i[feat_ch : feat_ch + row_ch]
+                    w_code = w_i[feat_ch + row_ch : in_ch]
                     w_rest = w_i[in_ch:]
                     folded_w.append(jnp.concatenate([w_feat, w_rest], 0))
-                    folded_b.append(b_i + code @ w_code)
+                    b_new = b_i if code is None else b_i + code @ w_code
+                    folded_b.append(b_new)
+                    if row_ch > 0:
+                        row_adds[i] = row_code @ w_row  # (M, W)
                 else:
                     folded_w.append(w_i)
                     folded_b.append(b_i)
@@ -106,6 +121,8 @@ class BaseMLP(nn.Module):
         use_fused = _fused_enabled() if fused is None else (
             fused and _fused_enabled()
         )
+        if row_adds:
+            use_fused = False  # fused kernels have no per-row bias concept
         if use_fused:
             flat = x.reshape(-1, x.shape[-1])
             if pe_spec is not None:
@@ -127,12 +144,19 @@ class BaseMLP(nn.Module):
             from lab4d_tpu.nnutils.embedding import fourier_embed
 
             x = fourier_embed(x, pe_freqs, pe_window)
+
+        def row_add(i, h):
+            if i not in row_adds:
+                return h
+            u = row_adds[i]
+            return h + u.reshape(u.shape[:1] + (1,) * (h.ndim - 2) + u.shape[-1:])
+
         out = x
         for i in range(self.D):
             if i in self.skips:
                 out = jnp.concatenate([x, out], axis=-1)
-            out = nn.relu(out @ weights[i] + biases[i])
-        out = out @ weights[-1] + biases[-1]
+            out = nn.relu(row_add(i, out @ weights[i]) + biases[i])
+        out = row_add(self.D, out @ weights[-1]) + biases[-1]
         if self.final_act:
             out = nn.relu(out)
         return out
@@ -170,16 +194,21 @@ class CondMLP(nn.Module):
         train: bool = False,
         fused: Optional[bool] = None,
         pe_spec=None,
+        row_code: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Args:
             feat: (M, ..., in_channels) — RAW coordinates when pe_spec is
                 given (the backbone embeds them in-kernel)
             inst_id: (M,) instance ids or None (mean instance)
+            row_code: optional (M, Cr) per-row conditioning (e.g. time
+                codes), applied as a low-rank add (see BaseMLP)
         """
         if self.inst_channels == 0:
             if feat.shape[-1] == 0:
                 return feat
-            return self.backbone(feat, fused=fused, pe_spec=pe_spec)
+            return self.backbone(
+                feat, fused=fused, pe_spec=pe_spec, row_code=row_code
+            )
 
         # constant-code fast path: a single morphology (or the mean code)
         # conditions every point identically, so the code folds into the
@@ -202,20 +231,22 @@ class CondMLP(nn.Module):
                     feat.shape[:-1] + out.shape[-1:],
                 )
             return self.backbone(
-                feat, fused=fused, const_code=code, pe_spec=pe_spec
+                feat, fused=fused, const_code=code, pe_spec=pe_spec,
+                row_code=row_code,
             )
 
-        if pe_spec is not None:  # per-point codes: embed inline, then concat
-            from lab4d_tpu.nnutils.embedding import fourier_embed
-
-            feat = fourier_embed(feat, pe_spec[0], pe_spec[1])
-        code = self.inst_embedding(inst_id, beta_prob=beta_prob, train=train)
-        code = code.reshape(code.shape[:1] + (1,) * (feat.ndim - 2) + (-1,))
-        inst_code = jnp.broadcast_to(
-            code, feat.shape[:-1] + (self.inst_channels,)
+        # per-instance codes vary per leading row: apply them through the
+        # same low-rank row path (appended after any caller row_code so the
+        # declared input order is [feat, row, inst])
+        inst_rows = self.inst_embedding(inst_id, beta_prob=beta_prob, train=train)
+        inst_rows = inst_rows.reshape(inst_rows.shape[0], -1)
+        rows = (
+            inst_rows if row_code is None
+            else jnp.concatenate([row_code, inst_rows], axis=-1)
         )
-        x = jnp.concatenate([feat, inst_code], axis=-1)
-        return self.backbone(x, fused=fused)
+        return self.backbone(
+            feat, fused=fused, pe_spec=pe_spec, row_code=rows
+        )
 
 
 def embed_cond_mlp(

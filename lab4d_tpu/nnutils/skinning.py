@@ -61,10 +61,10 @@ class SkinningField(nn.Module):
         return jnp.exp(log_gauss)
 
     def get_gauss_bone_coords(self, xyz, bone2obj):
-        """Points -> scaled bone-local coordinates (skinning.py:126-142)."""
-        xyz_bone = get_bone_coords(xyz, bone2obj)
-        gauss = self.get_gauss().reshape((1,) * (xyz.ndim - 1) + (self.num_coords, 3))
-        return xyz_bone / gauss
+        """Points -> scaled bone-local coordinates (skinning.py:126-142).
+        The 1/gauss scaling folds into the bone rotation matrices so no
+        sample-resolution elementwise pass is needed."""
+        return get_bone_coords(xyz, bone2obj, scale=self.get_gauss())
 
     def __call__(self, xyz, bone2obj, frame_id, inst_id):
         """Args:
@@ -81,15 +81,18 @@ class SkinningField(nn.Module):
             xyz_embed = self.pos_embedding(
                 xyz_bone.reshape(xyz.shape[:-1] + (-1,))
             )
+            # time codes are constant per pair row -> low-rank row add in
+            # the CondMLP instead of a sample-resolution broadcast+concat
             if frame_id is None:
-                t_embed = self.time_embedding.mean_embedding()
-                t_embed = t_embed.reshape((1, 1, 1, -1))
+                t_rows = jnp.broadcast_to(
+                    self.time_embedding.mean_embedding().reshape(1, -1),
+                    (xyz.shape[0], self.time_embedding.out_channels),
+                )
             else:
-                t_embed = self.time_embedding(frame_id)
-                t_embed = t_embed.reshape(-1, 1, 1, t_embed.shape[-1])
-            t_embed = jnp.broadcast_to(t_embed, xyz.shape[:-1] + t_embed.shape[-1:])
-            xyzt_embed = jnp.concatenate([xyz_embed, t_embed], axis=-1)
-            delta = self.delta_field(xyzt_embed, inst_id)
+                t_rows = self.time_embedding(frame_id).reshape(
+                    xyz.shape[0], -1
+                )
+            delta = self.delta_field(xyz_embed, inst_id, row_code=t_rows)
             delta = jax.nn.relu(delta) * 0.1
             skin = -(dist2 + delta)
         else:

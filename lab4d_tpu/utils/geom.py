@@ -231,7 +231,9 @@ def se3_mat2rt(mat: jnp.ndarray):
 # ---------------------- bone-coordinate helpers -----------------------------
 
 
-def get_bone_coords(xyz: jnp.ndarray, bone2obj: DualQuaternion) -> jnp.ndarray:
+def get_bone_coords(
+    xyz: jnp.ndarray, bone2obj: DualQuaternion, scale=None
+) -> jnp.ndarray:
     """Transform points into each bone's local frame.
 
     Parity: lab4d/utils/transforms.py:9-25. The bone transforms may carry
@@ -254,6 +256,10 @@ def get_bone_coords(xyz: jnp.ndarray, bone2obj: DualQuaternion) -> jnp.ndarray:
 
     q, t = dual_quaternion_to_quaternion_translation(bone2obj)
     R = quaternion_to_matrix(q)  # (..., B, 3, 3) bone -> obj
+    if scale is not None:
+        # fold a per-bone output scaling (1/gauss) into the rotation so
+        # the (P, B, 3) result needs no second elementwise pass
+        R = R / scale[..., None, :]
     # obj2bone: R^T (x - t). Contract over j with R (not R^T) by index
     # placement: out[..., b, i] = sum_j R[..., b, j, i] * (x[..., j] - t)
     n_lead = R.ndim - 3  # leading dims carried by the bones
