@@ -632,12 +632,40 @@ class Trainer:
     # ----------------------------------------------------------------- eval
 
     def model_eval(self):
-        """Render eval frames and log image grids (trainer.py:400-411)."""
-        opts = self.opts
-        rendered = self.render_frames(self.eval_fid)
+        """Render eval frames, log image grids + quantitative metrics
+        (trainer.py:400-411; PSNR/SSIM/depth are additions — the reference
+        publishes no in-repo eval metrics)."""
+        rendered, ref = self.render_frames(self.eval_fid, return_ref=True)
         self.log.images(rendered, self.current_round)
+        try:
+            self.log.scalars(
+                self.compute_eval_metrics(rendered, ref), self.current_round
+            )
+        except Exception as e:
+            print(f"[warn] eval metrics failed: {e}")
 
-    def render_frames(self, fids, render_res: Optional[int] = None):
+    @staticmethod
+    def compute_eval_metrics(rendered, ref):
+        from lab4d_tpu.utils.metrics import depth_error, psnr, ssim
+
+        out = {}
+        mask = ref.get("mask")
+        mask = None if mask is None else mask[..., 0] > 0.5
+        if "rgb" in rendered and "rgb" in ref:
+            out["eval/psnr"] = psnr(rendered["rgb"], ref["rgb"], mask=mask)
+            out["eval/ssim"] = float(
+                np.mean(
+                    [ssim(p, t) for p, t in zip(rendered["rgb"], ref["rgb"])]
+                )
+            )
+        if "depth" in rendered and "depth" in ref:
+            out["eval/depth_err"] = depth_error(
+                rendered["depth"], ref["depth"], mask=mask
+            )
+        return out
+
+    def render_frames(self, fids, render_res: Optional[int] = None,
+                      return_ref: bool = False):
         opts = self.opts
         res = render_res or opts["eval_res"]
         geo = self._geo_for_batch()
@@ -656,7 +684,10 @@ class Trainer:
 
             self._eval_render = jax.jit(eval_render)
 
+        import cv2
+
         out = {}
+        refs = {}
         for fid in fids:
             pair = data_utils.load_eval_frame(
                 self.eval_datasets, int(fid), self.data_info
@@ -678,7 +709,25 @@ class Trainer:
                     continue
                 img = np.asarray(v[0]).reshape(res, res, -1)
                 out.setdefault(k, []).append(img)
-        return {k: np.stack(v) for k, v in out.items()}
+            if return_ref:
+                side = int(np.sqrt(pair["rgb"].shape[1]))
+                for k in ("rgb", "depth", "mask"):
+                    if k not in pair:
+                        continue
+                    img = np.asarray(
+                        pair[k][0], np.float32
+                    ).reshape(side, side, -1)
+                    if side != res:
+                        img = cv2.resize(
+                            img, (res, res),
+                            interpolation=cv2.INTER_NEAREST
+                            if k == "mask" else cv2.INTER_LINEAR,
+                        ).reshape(res, res, -1)
+                    refs.setdefault(k, []).append(img)
+        out = {k: np.stack(v) for k, v in out.items()}
+        if return_ref:
+            return out, {k: np.stack(v) for k, v in refs.items()}
+        return out
 
     # ----------------------------------------------------------- checkpoint
 

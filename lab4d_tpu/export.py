@@ -151,7 +151,7 @@ def extract_deformation(model, params, cate, mesh_rest, inst_id, frame_ids,
         )
         f2c_world = (
             np.asarray(field2cam[0]),
-            np.asarray(field2cam[1]) / float(np.exp(logscale)),
+            np.asarray(field2cam[1]) / float(np.exp(logscale).reshape(())),
         )
         motion_tuples[frame_id] = MotionParamsExpl(
             field2cam=f2c_world,
@@ -177,7 +177,19 @@ def extract_deformation(model, params, cate, mesh_rest, inst_id, frame_ids,
             ].warp.articulation.get_mean_vals(i),
             inst,
         )
-        sd = {"t_articulation": arti_i}
+        # rest articulation = global (mean-instance) rest pose; the warp
+        # then stretches bones from rest to this instance's morphology
+        arti_mean = _field_apply(
+            model, params,
+            lambda m: m.fields.field_params[
+                cate
+            ].warp.articulation.get_mean_vals(None),
+        )
+        arti_mean = tuple(
+            a.reshape((1,) * (arti_i[0].ndim - a.ndim) + a.shape)
+            for a in arti_mean
+        )
+        sd = {"t_articulation": arti_i, "rest_articulation": arti_mean}
         xyz_i = _field_apply(
             model, params,
             lambda m, x, f2c, i, s: m.fields.field_params[cate].forward_warp(

@@ -60,7 +60,7 @@ class BaseMLP(nn.Module):
         pe_spec: optional (freqs tuple, window) — x is then RAW coordinates
         and the Fourier embedding happens inside the fused kernel (or
         inline for the jnp path); the params consume the embedded width."""
-        if x.shape[-1] == 0 and const_code is None:
+        if x.shape[-1] == 0 and const_code is None and row_code is None:
             return x
         if pe_spec is not None:
             pe_freqs, pe_window = pe_spec

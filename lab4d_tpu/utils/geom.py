@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from lab4d_tpu.utils.quat import (
     DualQuaternion,
@@ -263,7 +264,8 @@ def get_bone_coords(
     # obj2bone: R^T (x - t). Contract over j with R (not R^T) by index
     # placement: out[..., b, i] = sum_j R[..., b, j, i] * (x[..., j] - t)
     n_lead = R.ndim - 3  # leading dims carried by the bones
-    lead_shape = xyz.shape[:n_lead]
+    lead_shape = np.broadcast_shapes(xyz.shape[:n_lead], R.shape[:n_lead])
+    xyz = jnp.broadcast_to(xyz, lead_shape + xyz.shape[n_lead:])
     R = jnp.broadcast_to(R, lead_shape + R.shape[n_lead:])
     t = jnp.broadcast_to(t, lead_shape + t.shape[n_lead:])
     lead = "ABCDE"[:n_lead]

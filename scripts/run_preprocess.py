@@ -85,6 +85,11 @@ def run_preprocess(
     outdir = f"{database_root}/processed"
     viddir = f"{database_root}/raw/{vidname}"
 
+    if not os.path.isdir(viddir) or not os.listdir(viddir):
+        from preprocess.scripts.download import download_seq
+
+        download_seq(vidname, database_root)
+
     frame_args = []
     for counter, infile in enumerate(sorted(glob.glob(f"{viddir}/*"))):
         seqname = f"{vidname}-{counter:04d}"
