@@ -1,0 +1,98 @@
+"""Loss/grad finiteness across every model family the reference supports:
+warp types (dense, nvp, skel-human, composed), the comp field type
+(Total-Recon fg+bg), and multi-instance morphology codes (RAC)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from lab4d_tpu.engine.schedules import compute_sched
+from tests.test_model import RNGS, make_model_and_batch
+
+
+def _loss_and_grads(model, batch, wrt_grads=True):
+    sched = compute_sched(100)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        RNGS, batch, sched, train=True
+    )
+
+    def loss_fn(p):
+        ld = model.apply(
+            {"params": p}, batch, sched, train=True,
+            rngs={"aux": jax.random.PRNGKey(3), "swap": jax.random.PRNGKey(4)},
+        )
+        return sum(jax.tree.leaves(ld)), ld
+
+    if wrt_grads:
+        (total, ld), grads = jax.jit(
+            jax.value_and_grad(loss_fn, has_aux=True)
+        )(variables["params"])
+        for leaf in jax.tree.leaves(grads):
+            assert bool(jnp.isfinite(leaf).all()), "non-finite gradient"
+    else:
+        total, ld = jax.jit(loss_fn)(variables["params"])
+    assert np.isfinite(float(total))
+    for k, v in ld.items():
+        assert np.isfinite(float(v)), f"loss {k} not finite"
+    return ld
+
+
+@pytest.mark.parametrize(
+    "fg_motion", ["dense", "nvp", "skel-human", "comp_skel-quad_dense"]
+)
+def test_warp_variants_fg(fg_motion):
+    model, batch = make_model_and_batch("fg", fg_motion)
+    ld = _loss_and_grads(model, batch, wrt_grads=False)
+    if fg_motion.startswith(("skel", "comp")):
+        assert "reg_skel_prior" in ld
+    if fg_motion.startswith("comp"):
+        assert float(ld["reg_soft_deform"]) >= 0
+
+
+def test_comp_field_type():
+    """Total-Recon configuration: fg + bg composed along rays."""
+    model, batch = make_model_and_batch("comp", "bob")
+    ld = _loss_and_grads(model, batch)
+    # both fields' masks supervise (field-specific masking rules apply)
+    assert any(k.startswith("mask") for k in ld)
+
+
+def test_bg_field_type():
+    model, batch = make_model_and_batch("bg", "rigid")
+    _loss_and_grads(model, batch, wrt_grads=False)
+
+
+def test_multi_instance_codes():
+    """RAC-style: per-video morphology codes (--nosingle_inst)."""
+    from lab4d_tpu.engine.model import DVRModel
+    from lab4d_tpu.nnutils.embedding import FrameInfo
+    from tests.test_model import LOSS_WEIGHTS
+
+    num_frames, M, N = 10, 2, 6
+    fi = FrameInfo(
+        [0, num_frames // 2, num_frames],
+        [0, num_frames // 2 + 1, num_frames + 2],
+        list(range(num_frames)),
+    )
+    rt = np.tile(np.eye(4, dtype=np.float32)[None], (num_frames, 1, 1))
+    rt[:, 2, 3] = 1.0
+    intr = np.tile(
+        np.array([100.0, 100.0, 32.0, 32.0], np.float32)[None], (num_frames, 1)
+    )
+    model = DVRModel(
+        frame_info=fi, field_type="fg", fg_motion="skel-quad",
+        num_inst=2, train_res=64, intrinsics_init=intr, rtmat_fg=rt,
+        rtmat_bg=rt, loss_weights=LOSS_WEIGHTS,
+    )
+    _, batch = make_model_and_batch("fg", "skel-quad", M=M, N=N)
+    batch = dict(batch)
+    batch["dataid"] = jnp.asarray(np.array([[0, 0], [1, 1]], np.int32))
+    ld = _loss_and_grads(model, batch)
+    assert "rgb" in ld
