@@ -43,6 +43,7 @@ class BaseMLP(nn.Module):
         const_code: Optional[jnp.ndarray] = None,
         pe_spec=None,
         row_code: Optional[jnp.ndarray] = None,
+        return_params: bool = False,
     ) -> jnp.ndarray:
         """row_code: optional (M, Cr) conditioning that is constant within
         each leading-batch row of x (M, ..., Cx) — e.g. per-frame time
@@ -117,6 +118,12 @@ class BaseMLP(nn.Module):
                     folded_b.append(b_i)
             weights, biases = folded_w, folded_b
         in_ch = feat_ch
+
+        if return_params:
+            # hand the (const-folded) weight/bias lists to a caller that
+            # drives a multi-head fused kernel directly
+            assert not row_adds, "return_params incompatible with row codes"
+            return weights, [b.reshape(1, -1) for b in biases]
 
         use_fused = _fused_enabled() if fused is None else (
             fused and _fused_enabled()
@@ -195,6 +202,7 @@ class CondMLP(nn.Module):
         fused: Optional[bool] = None,
         pe_spec=None,
         row_code: Optional[jnp.ndarray] = None,
+        return_params: bool = False,
     ) -> jnp.ndarray:
         """Args:
             feat: (M, ..., in_channels) — RAW coordinates when pe_spec is
@@ -202,12 +210,16 @@ class CondMLP(nn.Module):
             inst_id: (M,) instance ids or None (mean instance)
             row_code: optional (M, Cr) per-row conditioning (e.g. time
                 codes), applied as a low-rank add (see BaseMLP)
+            return_params: return the (const-folded) weight/bias lists for
+                an external fused kernel instead of evaluating (only valid
+                on constant-code paths)
         """
         if self.inst_channels == 0:
             if feat.shape[-1] == 0:
                 return feat
             return self.backbone(
-                feat, fused=fused, pe_spec=pe_spec, row_code=row_code
+                feat, fused=fused, pe_spec=pe_spec, row_code=row_code,
+                return_params=return_params,
             )
 
         # constant-code fast path: a single morphology (or the mean code)
@@ -232,7 +244,7 @@ class CondMLP(nn.Module):
                 )
             return self.backbone(
                 feat, fused=fused, const_code=code, pe_spec=pe_spec,
-                row_code=row_code,
+                row_code=row_code, return_params=return_params,
             )
 
         # per-instance codes vary per leading row: apply them through the

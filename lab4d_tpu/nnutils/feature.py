@@ -7,6 +7,7 @@ reprojected for the feat_reproj loss.
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -28,13 +29,136 @@ class FeatureNeRF(NeRF):
         )
         self.logsigma = self.param("logsigma", nn.initializers.zeros, (1,))
 
+    def query_all_heads(self, xyz, dir, frame_id, inst_id, sched, train):
+        """Single-pass field evaluation through the multi-head Pallas
+        kernel (ops/field_kernel.py): sdf/rgb/vis/feature from one tile
+        sweep. Applies on the training path of single-instance fg fields
+        (constant codes fold into biases; the appearance code is the only
+        per-pair conditioning and rides the kernel's per-tile row)."""
+        from lab4d_tpu.nnutils.base import _fused_enabled
+
+        if not (
+            train
+            and _fused_enabled()
+            and self.num_inst == 1
+            and self.appr_channels > 0
+            and self.num_freq_dir == -1
+            and xyz.ndim == 4
+        ):
+            return None
+        from lab4d_tpu.ops.field_kernel import (
+            MAX_TILE, FieldCfg, fused_nerf_heads,
+        )
+
+        M, N, D = xyz.shape[:3]
+        spp = N * D
+        if spp % 8 != 0 or spp > MAX_TILE:
+            return None
+        # all xyz embeddings must share one frequency ladder (prefixes of
+        # the color bands)
+        fb_c = self.pos_embedding_color.freq_bands
+        for pe in (self.pos_embedding, self.vis_mlp.pos_embedding,
+                   self.feat_pos_embedding):
+            n = pe.n_freqs
+            if n <= 0 or n > len(fb_c) or not np.allclose(
+                pe.freq_bands, fb_c[:n]
+            ):
+                return None
+
+        alpha = None if sched is None else sched.get("alpha")
+        beta_prob = None if sched is None else sched.get("beta_prob")
+        x2 = xyz.reshape(-1, 3)
+
+        def params_of(cond_mlp, pe, use_alpha=True):
+            return cond_mlp(
+                x2, inst_id, beta_prob=beta_prob, train=train,
+                pe_spec=pe.pe_spec(alpha if use_alpha else None),
+                return_params=True,
+            )
+
+        base_w, base_b = params_of(self.basefield, self.pos_embedding)
+        color_w, color_b = params_of(self.colorfield, self.pos_embedding_color)
+        vis_w, vis_b = params_of(
+            self.vis_mlp.basefield, self.vis_mlp.pos_embedding, use_alpha=False
+        )
+        feat_w, feat_b = self.feature_field(
+            x2, pe_spec=self.feat_pos_embedding.pe_spec(None),
+            return_params=True,
+        )
+
+        # declare + fetch the head params (dummy rows keep init consistent)
+        _ = self.sdf_head(jnp.zeros((1, self.W)))
+        _ = self.rgb_head[0](jnp.zeros((1, self.W + self.appr_channels)))
+        _ = self.rgb_head[1](jnp.zeros((1, self.W // 2)))
+        sdf_p = self.sdf_head.variables["params"]
+        r1_p = self.rgb_head[0].variables["params"]
+        r2_p = self.rgb_head[1].variables["params"]
+
+        def interleave(ws, bs):
+            out = []
+            for w, b in zip(ws, bs):
+                out += [w, b.reshape(1, -1)]
+            return out
+
+        nets = dict(
+            base=interleave(base_w, base_b),
+            sdf=[sdf_p["kernel"], sdf_p["bias"].reshape(1, -1)],
+            color=interleave(color_w, color_b),
+            rgb1=[r1_p["kernel"], r1_p["bias"].reshape(1, -1)],
+            rgb2=[r2_p["kernel"], r2_p["bias"].reshape(1, -1)],
+            vis=interleave(vis_w, vis_b),
+            feat=interleave(feat_w, feat_b),
+        )
+        cfg = FieldCfg(
+            freqs=tuple(float(f) for f in fb_c),
+            nf_base=self.pos_embedding.n_freqs,
+            nf_color=self.pos_embedding_color.n_freqs,
+            nf_vis=self.vis_mlp.pos_embedding.n_freqs,
+            nf_feat=self.feat_pos_embedding.n_freqs,
+            skips_base=tuple(self.skips),
+            skips_color=tuple(self.skips),
+            skips_vis=(4,),
+            skips_feat=(4,),
+        )
+        appr = self.appr_embedding.get_vals(frame_id).reshape(M, -1)
+        win_b = self.pos_embedding.get_window(alpha)
+        win_c = self.pos_embedding_color.get_window(alpha)
+
+        out = fused_nerf_heads(x2, None, appr, win_b, win_c, nets, cfg, spp)
+
+        lead = xyz.shape[:-1]
+        sdf = out[:, :1].reshape(lead + (1,))
+        rgb = out[:, 1:4].reshape(lead + (3,))
+        vis = out[:, 4:5].reshape(lead + (1,))
+        f16 = out[:, 5 : 5 + self.feature_channels].reshape(
+            lead + (self.feature_channels,)
+        )
+        if self.color_act:
+            rgb = jax.nn.sigmoid(rgb)
+        ibeta = jnp.exp(self.logibeta)
+        density = (
+            0.5 + 0.5 * jnp.sign(sdf) * jnp.expm1(-jnp.abs(sdf) * ibeta)
+        ) * ibeta
+
+        from lab4d_tpu.utils.geom import safe_norm
+
+        feature = f16 / jnp.maximum(safe_norm(f16), 1e-6)
+        return {
+            "rgb": rgb,
+            "density": density,
+            f"density_{self.category}": density,
+            "vis": vis,
+            "feature": feature,
+        }
+
     def query_field(self, samples_dict, sched=None, train=True, flow_thresh=None):
         feat_dict, deltas, aux_dict = super().query_field(
             samples_dict, sched=sched, train=train, flow_thresh=flow_thresh
         )
         if train:
             xyz = feat_dict["xyz"]
-            feat_dict.update(self.compute_feat(xyz))
+            if "feature" not in feat_dict:  # fused path computed it already
+                feat_dict.update(self.compute_feat(xyz))
             if "feature" in samples_dict and "feature" in feat_dict:
                 xyz_matches = self.global_match(
                     samples_dict["feature"], feat_dict["feature"], xyz

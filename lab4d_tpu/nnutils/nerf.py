@@ -182,6 +182,11 @@ class NeRF(nn.Module):
     def sdf_fn(self, xyz, inst_id=None, sched=None):
         return self.forward(xyz, inst_id=inst_id, get_density=False, sched=sched)
 
+    def query_all_heads(self, xyz, dir, frame_id, inst_id, sched, train):
+        """Hook for the multi-head fused field kernel (FeatureNeRF);
+        None = use the per-module path."""
+        return None
+
     # ----------------------------------------------------------- ray queries
 
     def get_samples(self, Kinv, batch, train: bool = True):
@@ -249,10 +254,15 @@ class NeRF(nn.Module):
         dir = backwarp_dict["dir"]
         xyz_t = backwarp_dict["xyz_t"]
 
-        vis_score = self.vis_mlp(xyz, inst_id=inst_id)
-
-        feat_dict = self.query_nerf(xyz, dir, frame_id, inst_id, sched, train)
-        feat_dict["vis"] = vis_score
+        feat_dict = self.query_all_heads(
+            xyz, dir, frame_id, inst_id, sched, train
+        )
+        if feat_dict is None:
+            vis_score = self.vis_mlp(xyz, inst_id=inst_id)
+            feat_dict = self.query_nerf(
+                xyz, dir, frame_id, inst_id, sched, train
+            )
+            feat_dict["vis"] = vis_score
 
         if not train:
             # dense-masked analog of the reference's valid-idx sparsification

@@ -1,0 +1,582 @@
+"""Pallas TPU megakernel: all per-point NeRF field heads in one pass.
+
+One kernel evaluates, per point tile, everything nerf.NeRF derives from a
+canonical point (nerf.py:167-215 + visibility + feature field):
+
+    sincos table (union of all frequency bands, computed once)
+      -> basefield MLP -> sdf head
+      -> colorfield MLP -> (+ base feat) -> rgb head (dir/appearance cond)
+      -> visibility MLP
+      -> feature MLP (16-d descriptor)
+
+packed into a single (P, 24) output [sdf, rgb(3), vis, feat(16), pad].
+Replaces 4 fused-MLP kernel launches + XLA head/concat glue, and the
+(P, 128) intermediate features never reach HBM.
+
+Appearance codes are per-pair rows: the grid is one tile per pair
+(tile = samples-per-pair), so each tile reads its own (1, Ca) row and
+writes its own appearance gradient row — no cross-tile accumulation.
+
+Backward is a custom VJP that recomputes the forward per tile and
+backprops every head; weight gradients accumulate in VMEM across the
+sequential grid.
+"""
+
+from __future__ import annotations
+
+import collections
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lab4d_tpu.ops.mlp_kernel import _dot, _fold_sum_blocks, _interpret
+
+OUT_DIM = 24  # [sdf, rgb(3), vis, feat(16), pad(3)]
+
+# hashable static config (custom_vjp nondiff args must be hashable)
+FieldCfg = collections.namedtuple(
+    "FieldCfg",
+    "freqs nf_base nf_color nf_vis nf_feat "
+    "skips_base skips_color skips_vis skips_feat",
+)
+MAX_TILE = 2048
+MAX_TILE_BWD = 512
+
+
+# --------------------------------------------------------------- embedding
+
+
+def _sincos(x, fcol):
+    """x (T, 3) -> ang/sin/cos (T, 3F) in [f0(3), f1(3), ...] block order.
+    fcol: (1, 3F) per-column frequency scales (kernel input — captured
+    constants are rejected by pallas)."""
+    F = fcol.shape[-1] // x.shape[1]
+    xw = jnp.concatenate([x] * F, axis=-1)
+    ang = xw * fcol
+    return ang, jnp.sin(ang), jnp.cos(ang)
+
+
+def _embed(x, sin_t, cos_t, n_freqs, window):
+    """Assemble [x, sin[:3n]*w, cos[:3n]*w] from the shared table."""
+    C = x.shape[1]
+    s = sin_t[:, : C * n_freqs]
+    c = cos_t[:, : C * n_freqs]
+    if window is not None:
+        w = window[0, : C * n_freqs]
+        s, c = s * w, c * w
+    return jnp.concatenate([x, s, c], axis=-1)
+
+
+def _embed_bwd(dX, x, sin_t, cos_t, n_freqs, window, fcol):
+    """Gradient of _embed wrt x; dX (T, 3+6n)."""
+    C = x.shape[1]
+    gs = dX[:, C : C + C * n_freqs]
+    gc = dX[:, C + C * n_freqs :]
+    if window is not None:
+        w = window[0, : C * n_freqs]
+        gs, gc = gs * w, gc * w
+    dang = (
+        cos_t[:, : C * n_freqs] * gs - sin_t[:, : C * n_freqs] * gc
+    ) * fcol[:, : C * n_freqs]
+    return dX[:, :C] + _fold_sum_blocks(dang, C)
+
+
+# ------------------------------------------------------------------- MLPs
+
+
+def _mlp_fwd(x, wb, skips, final_act, keep_inputs=False):
+    """wb: flat [W0, b0, W1, b1, ...]; returns (out, layer_inputs|None)."""
+    n = len(wb) // 2
+    h = x
+    inputs = [] if keep_inputs else None
+    for i in range(n):
+        if i in skips:
+            h = jnp.concatenate([x, h], axis=-1)
+        if keep_inputs:
+            inputs.append(h)
+        h = _dot(h, wb[2 * i]) + wb[2 * i + 1]
+        if i < n - 1:
+            h = jnp.maximum(h, 0.0)
+    if final_act:
+        h = jnp.maximum(h, 0.0)
+    return h, inputs
+
+
+def _mlp_bwd(g, x, out, inputs, wb, skips, final_act):
+    """Backprop one MLP; returns (dX, [dW0, db0, ...])."""
+    n = len(wb) // 2
+    grads = [None] * (2 * n)
+    if final_act:
+        g = g * (out > 0.0)
+
+    def relu_out(i):
+        nxt = inputs[i + 1]
+        if (i + 1) in skips:
+            return nxt[:, x.shape[1]:]
+        return nxt
+
+    dX = jnp.zeros_like(x)
+    for i in reversed(range(n)):
+        if i < n - 1:
+            g = g * (relu_out(i) > 0.0)
+        grads[2 * i] = _dot(inputs[i].T, g)
+        grads[2 * i + 1] = jnp.sum(g, axis=0, keepdims=True)
+        g = _dot(g, wb[2 * i].T)
+        if i in skips:
+            dX = dX + g[:, : x.shape[1]]
+            g = g[:, x.shape[1]:]
+    return dX + g, grads
+
+
+# ------------------------------------------------------------ kernel bodies
+
+
+def _forward_tile(x, dir_extra, appr_row, win_b, win_c, nets, cfg, fcol):
+    """Shared forward dataflow; returns (packed_out, cache) where cache
+    holds everything backward needs."""
+    T = x.shape[0]
+    ang, sin_t, cos_t = _sincos(x, fcol)
+
+    Xb = _embed(x, sin_t, cos_t, cfg.nf_base, win_b)
+    feat, in_b = _mlp_fwd(Xb, nets["base"], cfg.skips_base, True, True)
+
+    sdf = _dot(feat, nets["sdf"][0]) + nets["sdf"][1]
+
+    Xc = _embed(x, sin_t, cos_t, cfg.nf_color, win_c)
+    featc, in_c = _mlp_fwd(Xc, nets["color"], cfg.skips_color, True, True)
+    hc = feat + featc
+
+    parts = [hc]
+    if dir_extra is not None:
+        parts.append(dir_extra)
+    if appr_row is not None:
+        parts.append(jnp.broadcast_to(appr_row, (T, appr_row.shape[-1])))
+    rgb_in = jnp.concatenate(parts, axis=-1)
+    rgb_h = jnp.maximum(_dot(rgb_in, nets["rgb1"][0]) + nets["rgb1"][1], 0.0)
+    rgb = _dot(rgb_h, nets["rgb2"][0]) + nets["rgb2"][1]
+
+    Xv = _embed(x, sin_t, cos_t, cfg.nf_vis, None)
+    vis, in_v = _mlp_fwd(Xv, nets["vis"], cfg.skips_vis, False, True)
+
+    Xf = _embed(x, sin_t, cos_t, cfg.nf_feat, None)
+    f16, in_f = _mlp_fwd(Xf, nets["feat"], cfg.skips_feat, False, True)
+
+    pad = jnp.zeros((T, OUT_DIM - 5 - f16.shape[-1]), jnp.float32)
+    out = jnp.concatenate([sdf, rgb, vis, f16, pad], axis=-1)
+    cache = dict(
+        ang=ang, sin_t=sin_t, cos_t=cos_t,
+        Xb=Xb, in_b=in_b, feat=feat,
+        Xc=Xc, in_c=in_c, featc=featc,
+        rgb_in=rgb_in, rgb_h=rgb_h,
+        Xv=Xv, in_v=in_v, vis=vis,
+        Xf=Xf, in_f=in_f, f16=f16,
+    )
+    return out, cache
+
+
+def _backward_tile(g, x, cache, nets, cfg, win_b, win_c, has_dir, has_appr, fcol):
+    """Backprop the packed gradient; returns (dx, ddir, dappr, net_grads)."""
+    C = x.shape[1]
+    nf16 = cache["f16"].shape[-1]
+    g_sdf = g[:, :1]
+    g_rgb = g[:, 1:4]
+    g_vis = g[:, 4:5]
+    g_f16 = g[:, 5 : 5 + nf16]
+
+    # rgb head backward
+    d_rgb_h = _dot(g_rgb, nets["rgb2"][0].T)
+    g_rgb2 = [_dot(cache["rgb_h"].T, g_rgb), jnp.sum(g_rgb, 0, keepdims=True)]
+    d_rgb_h = d_rgb_h * (cache["rgb_h"] > 0.0)
+    d_rgb_in = _dot(d_rgb_h, nets["rgb1"][0].T)
+    g_rgb1 = [_dot(cache["rgb_in"].T, d_rgb_h),
+              jnp.sum(d_rgb_h, 0, keepdims=True)]
+
+    W = cache["feat"].shape[-1]
+    d_hc = d_rgb_in[:, :W]
+    off = W
+    ddir = None
+    if has_dir:
+        cd = x.shape[1]  # dir extra is raw (T, 3)
+        ddir = d_rgb_in[:, off : off + cd]
+        off += cd
+    dappr = None
+    if has_appr:
+        dappr = jnp.sum(d_rgb_in[:, off:], axis=0, keepdims=True)
+
+    # sdf head backward
+    d_feat = _dot(g_sdf, nets["sdf"][0].T) + d_hc
+    g_sdfh = [_dot(cache["feat"].T, g_sdf), jnp.sum(g_sdf, 0, keepdims=True)]
+
+    dXb, g_base = _mlp_bwd(
+        d_feat, cache["Xb"], cache["feat"], cache["in_b"], nets["base"],
+        cfg.skips_base, True,
+    )
+    dXc, g_color = _mlp_bwd(
+        d_hc, cache["Xc"], cache["featc"], cache["in_c"], nets["color"],
+        cfg.skips_color, True,
+    )
+    dXv, g_vis_net = _mlp_bwd(
+        g_vis, cache["Xv"], cache["vis"], cache["in_v"], nets["vis"],
+        cfg.skips_vis, False,
+    )
+    dXf, g_feat_net = _mlp_bwd(
+        g_f16, cache["Xf"], cache["f16"], cache["in_f"], nets["feat"],
+        cfg.skips_feat, False,
+    )
+
+    sin_t, cos_t = cache["sin_t"], cache["cos_t"]
+    dx = (
+        _embed_bwd(dXb, x, sin_t, cos_t, cfg.nf_base, win_b, fcol)
+        + _embed_bwd(dXc, x, sin_t, cos_t, cfg.nf_color, win_c, fcol)
+        + _embed_bwd(dXv, x, sin_t, cos_t, cfg.nf_vis, None, fcol)
+        + _embed_bwd(dXf, x, sin_t, cos_t, cfg.nf_feat, None, fcol)
+    )
+    net_grads = dict(
+        base=g_base, sdf=g_sdfh, color=g_color, rgb1=g_rgb1, rgb2=g_rgb2,
+        vis=g_vis_net, feat=g_feat_net,
+    )
+    return dx, ddir, dappr, net_grads
+
+
+# ------------------------------------------------------------ pallas glue
+
+
+def _flatten_nets(nets):
+    """Deterministic flat list of (name, idx) -> array, plus reassembler."""
+    order = []
+    flat = []
+    for name in ("base", "sdf", "color", "rgb1", "rgb2", "vis", "feat"):
+        arrs = nets[name]
+        for i, a in enumerate(arrs):
+            order.append((name, i))
+            # biases as (1, C) rows for clean VMEM tiling
+            flat.append(a.reshape(1, -1) if a.ndim == 1 else a)
+    return flat, order
+
+
+def _unflatten_nets(flat, order):
+    nets = {}
+    for (name, i), a in zip(order, flat):
+        nets.setdefault(name, []).append(a)
+    return nets
+
+
+def _net_specs(flat):
+    return [
+        pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for a in flat
+    ]
+
+
+def _fwd_kernel(x_ref, fcol_ref, *refs, order, cfg, has_dir, has_appr,
+                has_wb, has_wc):
+    idx = 0
+    dir_ref = appr_ref = wb_ref = wc_ref = None
+    if has_dir:
+        dir_ref = refs[idx]; idx += 1
+    if has_appr:
+        appr_ref = refs[idx]; idx += 1
+    if has_wb:
+        wb_ref = refs[idx]; idx += 1
+    if has_wc:
+        wc_ref = refs[idx]; idx += 1
+    net_refs = refs[idx:-1]
+    out_ref = refs[-1]
+    nets = _unflatten_nets([r[:] for r in net_refs], order)
+    out, _ = _forward_tile(
+        x_ref[:],
+        None if dir_ref is None else dir_ref[:],
+        None if appr_ref is None else appr_ref[0:1],
+        None if wb_ref is None else wb_ref[:],
+        None if wc_ref is None else wc_ref[:],
+        nets, cfg, fcol_ref[:],
+    )
+    out_ref[:] = out
+
+
+def _bwd_kernel(x_ref, g_ref, fcol_ref, *refs, order, cfg, has_dir,
+                has_appr, has_wb, has_wc, n_nets, tiles_per_pair):
+    idx = 0
+    dir_ref = appr_ref = wb_ref = wc_ref = None
+    if has_dir:
+        dir_ref = refs[idx]; idx += 1
+    if has_appr:
+        appr_ref = refs[idx]; idx += 1
+    if has_wb:
+        wb_ref = refs[idx]; idx += 1
+    if has_wc:
+        wc_ref = refs[idx]; idx += 1
+    net_refs = refs[idx : idx + n_nets]
+    out_refs = refs[idx + n_nets :]
+    nets = _unflatten_nets([r[:] for r in net_refs], order)
+
+    x = x_ref[:]
+    fcol = fcol_ref[:]
+    win_b = None if wb_ref is None else wb_ref[:]
+    win_c = None if wc_ref is None else wc_ref[:]
+    _, cache = _forward_tile(
+        x,
+        None if dir_ref is None else dir_ref[:],
+        None if appr_ref is None else appr_ref[0:1],
+        win_b, win_c, nets, cfg, fcol,
+    )
+    dx, ddir, dappr, net_grads = _backward_tile(
+        g_ref[:], x, cache, nets, cfg, win_b, win_c, has_dir, has_appr, fcol
+    )
+
+    oi = 0
+    out_refs[oi][:] = dx; oi += 1
+    if has_dir:
+        out_refs[oi][:] = ddir; oi += 1
+    step = pl.program_id(0)
+    if has_appr:
+        appr_out = out_refs[oi]
+        # several tiles may share one pair row: zero on first visit,
+        # accumulate after (the grid is sequential)
+        @pl.when(step % tiles_per_pair == 0)
+        def _zero_appr():
+            appr_out[:] = jnp.zeros_like(appr_out)
+
+        appr_out[:] += jnp.broadcast_to(dappr, appr_out.shape)
+        oi += 1
+    grads_flat, _ = _flatten_nets(net_grads)
+
+    @pl.when(step == 0)
+    def _init():
+        for k in range(len(grads_flat)):
+            out_refs[oi + k][:] = jnp.zeros_like(out_refs[oi + k])
+
+    for k, gk in enumerate(grads_flat):
+        out_refs[oi + k][:] += gk.reshape(out_refs[oi + k].shape)
+
+
+# ----------------------------------------------------------------- public
+
+
+def _pick_tile(samples_per_pair, limit):
+    """Tile size = samples-per-pair (appearance rows are per pair)."""
+    if samples_per_pair > limit or samples_per_pair % 8 != 0:
+        return None
+    return samples_per_pair
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def fused_nerf_heads(x, dir_extra, appr_rows, win_b, win_c, nets, cfg, spp):
+    """x: (P, 3) canonical points; dir_extra: (P, Cd) or None; appr_rows:
+    (M, Ca) per-pair appearance codes or None; win_b/win_c: annealing
+    windows (F,) or None; nets: dict of weight lists; cfg: static dict
+    (freqs, per-net freq counts, skips); spp: static samples-per-pair.
+
+    Returns (P, OUT_DIM) packed [sdf, rgb(3), vis, feat(16), pad]."""
+    return _run_fwd(x, dir_extra, appr_rows, win_b, win_c, nets, cfg, spp)
+
+
+def _run_fwd(x, dir_extra, appr_rows, win_b, win_c, nets, cfg, spp):
+    P = x.shape[0]
+    tile = _pick_tile(spp, MAX_TILE)
+    assert tile is not None and P % tile == 0
+    grid = (P // tile,)
+    flat, order = _flatten_nets(nets)
+
+    fcol = jnp.asarray(
+        np.repeat(np.asarray(cfg.freqs, np.float32), x.shape[1])[None]
+    )
+    in_specs = [
+        pl.BlockSpec((tile, x.shape[1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(fcol.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [x, fcol]
+    if dir_extra is not None:
+        in_specs.append(pl.BlockSpec((tile, dir_extra.shape[1]),
+                                     lambda i: (i, 0), memory_space=pltpu.VMEM))
+        args.append(dir_extra)
+    if appr_rows is not None:
+        # pallas requires >=8-row blocks: replicate each pair row 8x and
+        # read row 0 per tile
+        appr8 = jnp.repeat(appr_rows, 8, axis=0)
+        in_specs.append(pl.BlockSpec((8, appr_rows.shape[1]),
+                                     lambda i: (i, 0), memory_space=pltpu.VMEM))
+        args.append(appr8)
+    for w in (win_b, win_c):
+        if w is not None:
+            # per-freq window -> per-embedding-column weights
+            wc = jnp.repeat(w.reshape(-1), x.shape[1])[None]
+            in_specs.append(pl.BlockSpec(wc.shape, lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+            args.append(wc)
+    in_specs += _net_specs(flat)
+    args += flat
+
+    kern = functools.partial(
+        _fwd_kernel, order=tuple(order), cfg=cfg,
+        has_dir=dir_extra is not None, has_appr=appr_rows is not None,
+        has_wb=win_b is not None, has_wc=win_c is not None,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile, OUT_DIM), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P, OUT_DIM), jnp.float32),
+        interpret=_interpret(),
+    )(*args)
+
+
+def _vjp_fwd(x, dir_extra, appr_rows, win_b, win_c, nets, cfg, spp):
+    out = _run_fwd(x, dir_extra, appr_rows, win_b, win_c, nets, cfg, spp)
+    return out, (x, dir_extra, appr_rows, win_b, win_c, nets)
+
+
+def _vjp_bwd(cfg, spp, res, g):
+    x, dir_extra, appr_rows, win_b, win_c, nets = res
+    P = x.shape[0]
+    # the backward holds 4 nets' activations + grad accumulators in VMEM:
+    # subdivide each pair across tiles until it fits
+    tile = spp
+    while tile > MAX_TILE_BWD and tile % 2 == 0:
+        tile //= 2
+    tiles_per_pair = spp // tile
+    grid = (P // tile,)
+    flat, order = _flatten_nets(nets)
+
+    fcol = jnp.asarray(
+        np.repeat(np.asarray(cfg.freqs, np.float32), x.shape[1])[None]
+    )
+    in_specs = [
+        pl.BlockSpec((tile, x.shape[1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, OUT_DIM), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(fcol.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [x, g, fcol]
+    if dir_extra is not None:
+        in_specs.append(pl.BlockSpec((tile, dir_extra.shape[1]),
+                                     lambda i: (i, 0), memory_space=pltpu.VMEM))
+        args.append(dir_extra)
+    if appr_rows is not None:
+        appr8 = jnp.repeat(appr_rows, 8, axis=0)
+        in_specs.append(
+            pl.BlockSpec(
+                (8, appr_rows.shape[1]),
+                lambda i: (i // tiles_per_pair, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(appr8)
+    for w in (win_b, win_c):
+        if w is not None:
+            wc = jnp.repeat(w.reshape(-1), x.shape[1])[None]
+            in_specs.append(pl.BlockSpec(wc.shape, lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+            args.append(wc)
+    in_specs += _net_specs(flat)
+    args += flat
+
+    out_shapes = [jax.ShapeDtypeStruct((P, x.shape[1]), jnp.float32)]
+    out_specs = [pl.BlockSpec((tile, x.shape[1]), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    if dir_extra is not None:
+        out_shapes.append(jax.ShapeDtypeStruct(dir_extra.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec((tile, dir_extra.shape[1]),
+                                      lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+    if appr_rows is not None:
+        out_shapes.append(
+            jax.ShapeDtypeStruct(
+                (appr_rows.shape[0] * 8, appr_rows.shape[1]), jnp.float32
+            )
+        )
+        out_specs.append(
+            pl.BlockSpec(
+                (8, appr_rows.shape[1]),
+                lambda i: (i // tiles_per_pair, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+    for a in flat:
+        out_shapes.append(jax.ShapeDtypeStruct(a.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec(a.shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+
+    kern = functools.partial(
+        _bwd_kernel, order=tuple(order), cfg=cfg,
+        has_dir=dir_extra is not None, has_appr=appr_rows is not None,
+        has_wb=win_b is not None, has_wc=win_c is not None,
+        n_nets=len(flat), tiles_per_pair=tiles_per_pair,
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        interpret=_interpret(),
+    )(*args)
+
+    oi = 0
+    dx = outs[oi]; oi += 1
+    ddir = None
+    if dir_extra is not None:
+        ddir = outs[oi]; oi += 1
+    dappr = None
+    if appr_rows is not None:
+        dappr = outs[oi][::8]; oi += 1
+    grads_flat = outs[oi:]
+    dnets = {}
+    for (name, i), ga in zip(order, grads_flat):
+        orig = nets[name][i]
+        dnets.setdefault(name, []).append(ga.reshape(orig.shape))
+    dwb = None if win_b is None else jnp.zeros_like(win_b)
+    dwc = None if win_c is None else jnp.zeros_like(win_c)
+    return dx, ddir, dappr, dwb, dwc, dnets
+
+
+fused_nerf_heads.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ------------------------------------------------------------- jnp oracle
+
+
+def nerf_heads_reference(x, dir_extra, appr_rows, win_b, win_c, nets, cfg,
+                         spp):
+    """jnp twin of the kernel dataflow (layouts via embedding.fourier_embed)."""
+    from lab4d_tpu.nnutils.embedding import fourier_embed
+    from lab4d_tpu.ops.mlp_kernel import mlp_reference
+
+    freqs = cfg.freqs
+
+    def embed(n, window):
+        return fourier_embed(x, freqs[:n], window)
+
+    def run(name, X, skips, final_act):
+        wb = nets[name]
+        Ws = [wb[2 * i] for i in range(len(wb) // 2)]
+        bs = [wb[2 * i + 1].reshape(-1) for i in range(len(wb) // 2)]
+        return mlp_reference(X, Ws, bs, skips, final_act)
+
+    feat = run("base", embed(cfg.nf_base, win_b), cfg.skips_base, True)
+    sdf = feat @ nets["sdf"][0] + nets["sdf"][1].reshape(-1)
+    featc = run("color", embed(cfg.nf_color, win_c), cfg.skips_color, True)
+    hc = feat + featc
+    parts = [hc]
+    if dir_extra is not None:
+        parts.append(dir_extra)
+    if appr_rows is not None:
+        P = x.shape[0]
+        rep = jnp.repeat(appr_rows, spp, axis=0)
+        parts.append(rep)
+    rgb_in = jnp.concatenate(parts, -1)
+    rgb_h = jax.nn.relu(rgb_in @ nets["rgb1"][0] + nets["rgb1"][1].reshape(-1))
+    rgb = rgb_h @ nets["rgb2"][0] + nets["rgb2"][1].reshape(-1)
+    vis = run("vis", embed(cfg.nf_vis, None), cfg.skips_vis, False)
+    f16 = run("feat", embed(cfg.nf_feat, None), cfg.skips_feat, False)
+    pad = jnp.zeros((x.shape[0], OUT_DIM - 5 - f16.shape[-1]))
+    return jnp.concatenate([sdf, rgb, vis, f16, pad], -1)
