@@ -38,8 +38,7 @@ class FeatureNeRF(NeRF):
         from lab4d_tpu.nnutils.base import _fused_enabled
 
         if not (
-            train
-            and _fused_enabled()
+            _fused_enabled()
             and self.num_inst == 1
             and self.appr_channels > 0
             and self.num_freq_dir == -1
@@ -52,7 +51,9 @@ class FeatureNeRF(NeRF):
 
         M, N, D = xyz.shape[:3]
         spp = N * D
-        if spp % 8 != 0 or spp > MAX_TILE:
+        from lab4d_tpu.ops.field_kernel import _pick_tile
+
+        if _pick_tile(spp, MAX_TILE) is None:
             return None
         # all xyz embeddings must share one frequency ladder (prefixes of
         # the color bands)

@@ -487,9 +487,10 @@ class NeRF(nn.Module):
             xyz = self.backward_warp(
                 pts_cam, dir_cam, field2cam, frame_id, inst_id, samples_dict
             )["xyz"]
+            # first-order grad only (rendering) — the fused kernel's custom
+            # VJP covers it; only true double-backward needs fused=False
             return self.forward(
-                xyz, inst_id=inst_id, get_density=False, sched=sched,
-                fused=False,  # double-backward path
+                xyz, inst_id=inst_id, get_density=False, sched=sched
             ).sum()
 
         g = jax.grad(sdf_sum)(xyz_cam)

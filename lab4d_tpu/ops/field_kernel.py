@@ -359,10 +359,15 @@ def _bwd_kernel(x_ref, g_ref, fcol_ref, *refs, order, cfg, has_dir,
 
 
 def _pick_tile(samples_per_pair, limit):
-    """Tile size = samples-per-pair (appearance rows are per pair)."""
-    if samples_per_pair > limit or samples_per_pair % 8 != 0:
+    """Largest power-of-two subdivision of the per-pair sample count that
+    fits the VMEM budget (appearance rows broadcast across a pair's
+    tiles)."""
+    tile = samples_per_pair
+    while tile > limit and tile % 2 == 0:
+        tile //= 2
+    if tile > limit or tile % 8 != 0:
         return None
-    return samples_per_pair
+    return tile
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
@@ -380,6 +385,7 @@ def _run_fwd(x, dir_extra, appr_rows, win_b, win_c, nets, cfg, spp):
     P = x.shape[0]
     tile = _pick_tile(spp, MAX_TILE)
     assert tile is not None and P % tile == 0
+    tiles_per_pair = spp // tile
     grid = (P // tile,)
     flat, order = _flatten_nets(nets)
 
@@ -398,10 +404,15 @@ def _run_fwd(x, dir_extra, appr_rows, win_b, win_c, nets, cfg, spp):
         args.append(dir_extra)
     if appr_rows is not None:
         # pallas requires >=8-row blocks: replicate each pair row 8x and
-        # read row 0 per tile
+        # read row 0 per tile; several tiles may share one pair row
         appr8 = jnp.repeat(appr_rows, 8, axis=0)
-        in_specs.append(pl.BlockSpec((8, appr_rows.shape[1]),
-                                     lambda i: (i, 0), memory_space=pltpu.VMEM))
+        in_specs.append(
+            pl.BlockSpec(
+                (8, appr_rows.shape[1]),
+                lambda i: (i // tiles_per_pair, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
         args.append(appr8)
     for w in (win_b, win_c):
         if w is not None:
