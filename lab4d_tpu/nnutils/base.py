@@ -121,9 +121,12 @@ class BaseMLP(nn.Module):
 
         if return_params:
             # hand the (const-folded) weight/bias lists to a caller that
-            # drives a multi-head fused kernel directly
-            assert not row_adds, "return_params incompatible with row codes"
-            return weights, [b.reshape(1, -1) for b in biases]
+            # drives a multi-head fused kernel directly; per-row (M, W)
+            # addends come along when row_code was given
+            biases_r = [b.reshape(1, -1) for b in biases]
+            if row_code is not None:
+                return weights, biases_r, row_adds
+            return weights, biases_r
 
         use_fused = _fused_enabled() if fused is None else (
             fused and _fused_enabled()
