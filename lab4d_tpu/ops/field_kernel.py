@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import collections
 import functools
-from typing import Optional
 
 import numpy as np
 import jax

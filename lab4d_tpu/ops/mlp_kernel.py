@@ -19,7 +19,7 @@ sidestepping custom-VJP-of-VJP.
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax

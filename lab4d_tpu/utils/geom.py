@@ -20,7 +20,6 @@ import numpy as np
 from lab4d_tpu.utils.quat import (
     DualQuaternion,
     dual_quaternion_to_quaternion_translation,
-    quaternion_apply,
     quaternion_translation_apply,
 )
 
