@@ -820,12 +820,32 @@ def _xy_grid(res: int) -> np.ndarray:
 
 
 def _merge_params(params, loaded):
-    """strict=False load: overwrite leaves present in both trees."""
+    """strict=False load: overwrite leaves present in both trees.
+
+    Checkpoint-transfer surgery (parity: torch_utils.py:66-113): when a
+    per-video table (instance codes, per-video base rotations/focals)
+    disagrees on the video count, the loaded rows are mean-compressed and
+    broadcast into the new table — a category checkpoint then seeds a
+    new capture with its average morphology/appearance.
+    """
     flat_p = flax.traverse_util.flatten_dict(flax.core.unfreeze(params))
     flat_l = flax.traverse_util.flatten_dict(loaded)
     for k, v in flat_l.items():
-        if k in flat_p and flat_p[k].shape == v.shape:
-            flat_p[k] = jnp.asarray(v)
+        if k not in flat_p:
+            continue
+        v = jnp.asarray(v)
+        if flat_p[k].shape == v.shape:
+            flat_p[k] = v
+        elif (
+            v.ndim == flat_p[k].ndim
+            and v.ndim >= 1
+            and v.shape[1:] == flat_p[k].shape[1:]
+            and any(t in k for t in ("inst_embedding", "base_quat",
+                                     "base_logfocal", "base_ppoint",
+                                     "base_trans"))
+        ):
+            mean = v.mean(0, keepdims=True)
+            flat_p[k] = jnp.broadcast_to(mean, flat_p[k].shape)
     return flax.traverse_util.unflatten_dict(flat_p)
 
 

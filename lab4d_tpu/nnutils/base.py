@@ -26,6 +26,16 @@ def _fused_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
+class ScaleLayer(nn.Module):
+    """Multiply by a fixed scale (base.py:8-14) — used to damp warp MLP
+    outputs (e.g. DenseWarp translations x0.1)."""
+
+    scale: float = 0.1
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return x * self.scale
+
+
 class BaseMLP(nn.Module):
     """Skip-connection MLP (base.py:17-78)."""
 

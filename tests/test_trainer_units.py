@@ -82,3 +82,35 @@ def test_check_func_harness():
 
     with pytest.raises(AssertionError):
         check_func(f1, lambda x: x * 3.0, (jnp.arange(8.0),), n_iters=1)
+
+
+def test_merge_params_surgery():
+    from lab4d_tpu.engine.trainer import _merge_params
+
+    params = {
+        "fields": {
+            "inst_embedding": {"embedding": jnp.zeros((3, 8))},
+            "camera": {"base_quat": jnp.zeros((3, 4))},
+            "mlp": {"kernel": jnp.zeros((4, 4))},
+        }
+    }
+    loaded = {
+        "fields": {
+            # 5 videos in the source checkpoint -> mean-compressed to 3
+            "inst_embedding": {
+                "embedding": np.arange(40, dtype=np.float32).reshape(5, 8)
+            },
+            "camera": {"base_quat": np.ones((5, 4), np.float32)},
+            "mlp": {"kernel": np.full((4, 4), 2.0, np.float32)},
+        }
+    }
+    merged = _merge_params(params, loaded)
+    emb = np.asarray(merged["fields"]["inst_embedding"]["embedding"])
+    expect = np.arange(40, dtype=np.float32).reshape(5, 8).mean(0)
+    np.testing.assert_allclose(emb, np.tile(expect, (3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(merged["fields"]["camera"]["base_quat"]), 1.0
+    )
+    np.testing.assert_allclose(
+        np.asarray(merged["fields"]["mlp"]["kernel"]), 2.0
+    )
