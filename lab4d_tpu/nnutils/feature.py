@@ -42,6 +42,7 @@ class FeatureNeRF(NeRF):
             and self.num_inst == 1
             and self.appr_channels > 0
             and self.num_freq_dir == -1
+            and self.color_act  # sigmoid is baked into the kernel
             and xyz.ndim == 4
         ):
             return None
@@ -125,25 +126,20 @@ class FeatureNeRF(NeRF):
         win_b = self.pos_embedding.get_window(alpha)
         win_c = self.pos_embedding_color.get_window(alpha)
 
-        out = fused_nerf_heads(x2, None, appr, win_b, win_c, nets, cfg, spp)
+        ibeta = jnp.exp(self.logibeta).reshape(1, 1)
+        out = fused_nerf_heads(
+            x2, None, appr, win_b, win_c, nets, ibeta, cfg, spp
+        )
 
+        # the kernel emits final quantities: VolSDF density, sigmoid rgb,
+        # L2-normalized features
         lead = xyz.shape[:-1]
-        sdf = out[:, :1].reshape(lead + (1,))
+        density = out[:, :1].reshape(lead + (1,))
         rgb = out[:, 1:4].reshape(lead + (3,))
         vis = out[:, 4:5].reshape(lead + (1,))
-        f16 = out[:, 5 : 5 + self.feature_channels].reshape(
+        feature = out[:, 5 : 5 + self.feature_channels].reshape(
             lead + (self.feature_channels,)
         )
-        if self.color_act:
-            rgb = jax.nn.sigmoid(rgb)
-        ibeta = jnp.exp(self.logibeta)
-        density = (
-            0.5 + 0.5 * jnp.sign(sdf) * jnp.expm1(-jnp.abs(sdf) * ibeta)
-        ) * ibeta
-
-        from lab4d_tpu.utils.geom import safe_norm
-
-        feature = f16 / jnp.maximum(safe_norm(f16), 1e-6)
         return {
             "rgb": rgb,
             "density": density,

@@ -135,7 +135,7 @@ def _mlp_bwd(g, x, out, inputs, wb, skips, final_act):
 # ------------------------------------------------------------ kernel bodies
 
 
-def _forward_tile(x, dir_extra, appr_row, win_b, win_c, nets, cfg, fcol):
+def _forward_tile(x, dir_extra, appr_row, win_b, win_c, nets, cfg, fcol, ibeta):
     """Shared forward dataflow; returns (packed_out, cache) where cache
     holds everything backward needs."""
     T = x.shape[0]
@@ -165,8 +165,21 @@ def _forward_tile(x, dir_extra, appr_row, win_b, win_c, nets, cfg, fcol):
     Xf = _embed(x, sin_t, cos_t, cfg.nf_feat, None)
     f16, in_f = _mlp_fwd(Xf, nets["feat"], cfg.skips_feat, False, True)
 
+    # final nonlinearities in-kernel: VolSDF density (Laplace CDF of the
+    # sdf), sigmoid rgb, L2-normalized features — their (P, .) elementwise
+    # passes otherwise cost ~4 ms/step of HBM traffic in XLA glue
+    ib = ibeta[0, 0]
+    # exp(x) - 1 instead of expm1 (not lowered by Mosaic); the lost
+    # precision near 0 is ~1e-7 absolute on a 0.5-magnitude term
+    density = (
+        0.5 + 0.5 * jnp.sign(sdf) * (jnp.exp(-jnp.abs(sdf) * ib) - 1.0)
+    ) * ib
+    rgb_act = jax.nn.sigmoid(rgb)
+    fnorm = jnp.sqrt(jnp.sum(f16 * f16, axis=-1, keepdims=True) + 1e-12)
+    f16n = f16 / jnp.maximum(fnorm, 1e-6)
+
     pad = jnp.zeros((T, OUT_DIM - 5 - f16.shape[-1]), jnp.float32)
-    out = jnp.concatenate([sdf, rgb, vis, f16, pad], axis=-1)
+    out = jnp.concatenate([density, rgb_act, vis, f16n, pad], axis=-1)
     cache = dict(
         ang=ang, sin_t=sin_t, cos_t=cos_t,
         Xb=Xb, in_b=in_b, feat=feat,
@@ -174,18 +187,38 @@ def _forward_tile(x, dir_extra, appr_row, win_b, win_c, nets, cfg, fcol):
         rgb_in=rgb_in, rgb_h=rgb_h,
         Xv=Xv, in_v=in_v, vis=vis,
         Xf=Xf, in_f=in_f, f16=f16,
+        sdf=sdf, rgb_act=rgb_act, f16n=f16n, fnorm=fnorm, ib=ib,
     )
     return out, cache
 
 
 def _backward_tile(g, x, cache, nets, cfg, win_b, win_c, has_dir, has_appr, fcol):
-    """Backprop the packed gradient; returns (dx, ddir, dappr, net_grads)."""
+    """Backprop the packed gradient; returns (dx, ddir, dappr, net_grads,
+    dibeta)."""
     C = x.shape[1]
     nf16 = cache["f16"].shape[-1]
-    g_sdf = g[:, :1]
-    g_rgb = g[:, 1:4]
+    g_density = g[:, :1]
+    g_rgb_act = g[:, 1:4]
     g_vis = g[:, 4:5]
-    g_f16 = g[:, 5 : 5 + nf16]
+    g_f16n = g[:, 5 : 5 + nf16]
+
+    # density = (0.5 + 0.5 sign(s) expm1(-|s| ib)) ib
+    sdf, ib = cache["sdf"], cache["ib"]
+    e = jnp.exp(-jnp.abs(sdf) * ib)
+    g_sdf = g_density * (-0.5 * ib * ib * e)
+    # d density / d ib = A - 0.5 * ib * s * e, A = density / ib
+    ddens_dib = (
+        0.5 + 0.5 * jnp.sign(sdf) * (jnp.exp(-jnp.abs(sdf) * ib) - 1.0)
+        - 0.5 * ib * sdf * e
+    )
+    dibeta = jnp.sum(g_density * ddens_dib).reshape(1, 1)
+
+    rgb_act = cache["rgb_act"]
+    g_rgb = g_rgb_act * rgb_act * (1.0 - rgb_act)
+
+    f16n, fnorm = cache["f16n"], cache["fnorm"]
+    denom = jnp.maximum(fnorm, 1e-6)
+    g_f16 = (g_f16n - f16n * jnp.sum(f16n * g_f16n, -1, keepdims=True)) / denom
 
     # rgb head backward
     d_rgb_h = _dot(g_rgb, nets["rgb2"][0].T)
@@ -239,7 +272,7 @@ def _backward_tile(g, x, cache, nets, cfg, win_b, win_c, has_dir, has_appr, fcol
         base=g_base, sdf=g_sdfh, color=g_color, rgb1=g_rgb1, rgb2=g_rgb2,
         vis=g_vis_net, feat=g_feat_net,
     )
-    return dx, ddir, dappr, net_grads
+    return dx, ddir, dappr, net_grads, dibeta
 
 
 # ------------------------------------------------------------ pallas glue
@@ -272,8 +305,8 @@ def _net_specs(flat):
     ]
 
 
-def _fwd_kernel(x_ref, fcol_ref, *refs, order, cfg, has_dir, has_appr,
-                has_wb, has_wc):
+def _fwd_kernel(x_ref, fcol_ref, ibeta_ref, *refs, order, cfg, has_dir,
+                has_appr, has_wb, has_wc):
     idx = 0
     dir_ref = appr_ref = wb_ref = wc_ref = None
     if has_dir:
@@ -293,13 +326,13 @@ def _fwd_kernel(x_ref, fcol_ref, *refs, order, cfg, has_dir, has_appr,
         None if appr_ref is None else appr_ref[0:1],
         None if wb_ref is None else wb_ref[:],
         None if wc_ref is None else wc_ref[:],
-        nets, cfg, fcol_ref[:],
+        nets, cfg, fcol_ref[:], ibeta_ref[:],
     )
     out_ref[:] = out
 
 
-def _bwd_kernel(x_ref, g_ref, fcol_ref, *refs, order, cfg, has_dir,
-                has_appr, has_wb, has_wc, n_nets, tiles_per_pair):
+def _bwd_kernel(x_ref, g_ref, fcol_ref, ibeta_ref, *refs, order, cfg,
+                has_dir, has_appr, has_wb, has_wc, n_nets, tiles_per_pair):
     idx = 0
     dir_ref = appr_ref = wb_ref = wc_ref = None
     if has_dir:
@@ -322,9 +355,9 @@ def _bwd_kernel(x_ref, g_ref, fcol_ref, *refs, order, cfg, has_dir,
         x,
         None if dir_ref is None else dir_ref[:],
         None if appr_ref is None else appr_ref[0:1],
-        win_b, win_c, nets, cfg, fcol,
+        win_b, win_c, nets, cfg, fcol, ibeta_ref[:],
     )
-    dx, ddir, dappr, net_grads = _backward_tile(
+    dx, ddir, dappr, net_grads, dibeta = _backward_tile(
         g_ref[:], x, cache, nets, cfg, win_b, win_c, has_dir, has_appr, fcol
     )
 
@@ -344,6 +377,7 @@ def _bwd_kernel(x_ref, g_ref, fcol_ref, *refs, order, cfg, has_dir,
         appr_out[:] += jnp.broadcast_to(dappr, appr_out.shape)
         oi += 1
     grads_flat, _ = _flatten_nets(net_grads)
+    grads_flat.append(dibeta)  # (1, 1) accumulator rides with the weights
 
     @pl.when(step == 0)
     def _init():
@@ -369,18 +403,21 @@ def _pick_tile(samples_per_pair, limit):
     return tile
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def fused_nerf_heads(x, dir_extra, appr_rows, win_b, win_c, nets, cfg, spp):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_nerf_heads(x, dir_extra, appr_rows, win_b, win_c, nets, ibeta,
+                     cfg, spp):
     """x: (P, 3) canonical points; dir_extra: (P, Cd) or None; appr_rows:
     (M, Ca) per-pair appearance codes or None; win_b/win_c: annealing
-    windows (F,) or None; nets: dict of weight lists; cfg: static dict
-    (freqs, per-net freq counts, skips); spp: static samples-per-pair.
+    windows (F,) or None; nets: dict of weight lists; ibeta: (1, 1)
+    VolSDF inverse-beta; cfg: static FieldCfg; spp: samples-per-pair.
 
-    Returns (P, OUT_DIM) packed [sdf, rgb(3), vis, feat(16), pad]."""
-    return _run_fwd(x, dir_extra, appr_rows, win_b, win_c, nets, cfg, spp)
+    Returns (P, OUT_DIM) packed [density, sigmoid rgb(3), vis,
+    normalized feat(16), pad]."""
+    return _run_fwd(x, dir_extra, appr_rows, win_b, win_c, nets, ibeta,
+                    cfg, spp)
 
 
-def _run_fwd(x, dir_extra, appr_rows, win_b, win_c, nets, cfg, spp):
+def _run_fwd(x, dir_extra, appr_rows, win_b, win_c, nets, ibeta, cfg, spp):
     P = x.shape[0]
     tile = _pick_tile(spp, MAX_TILE)
     assert tile is not None and P % tile == 0
@@ -395,8 +432,9 @@ def _run_fwd(x, dir_extra, appr_rows, win_b, win_c, nets, cfg, spp):
         pl.BlockSpec((tile, x.shape[1]), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(fcol.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
-    args = [x, fcol]
+    args = [x, fcol, ibeta.reshape(1, 1)]
     if dir_extra is not None:
         in_specs.append(pl.BlockSpec((tile, dir_extra.shape[1]),
                                      lambda i: (i, 0), memory_space=pltpu.VMEM))
@@ -439,13 +477,14 @@ def _run_fwd(x, dir_extra, appr_rows, win_b, win_c, nets, cfg, spp):
     )(*args)
 
 
-def _vjp_fwd(x, dir_extra, appr_rows, win_b, win_c, nets, cfg, spp):
-    out = _run_fwd(x, dir_extra, appr_rows, win_b, win_c, nets, cfg, spp)
-    return out, (x, dir_extra, appr_rows, win_b, win_c, nets)
+def _vjp_fwd(x, dir_extra, appr_rows, win_b, win_c, nets, ibeta, cfg, spp):
+    out = _run_fwd(x, dir_extra, appr_rows, win_b, win_c, nets, ibeta,
+                   cfg, spp)
+    return out, (x, dir_extra, appr_rows, win_b, win_c, nets, ibeta)
 
 
 def _vjp_bwd(cfg, spp, res, g):
-    x, dir_extra, appr_rows, win_b, win_c, nets = res
+    x, dir_extra, appr_rows, win_b, win_c, nets, ibeta = res
     P = x.shape[0]
     # the backward holds 4 nets' activations + grad accumulators in VMEM:
     # subdivide each pair across tiles until it fits
@@ -465,8 +504,9 @@ def _vjp_bwd(cfg, spp, res, g):
         pl.BlockSpec((tile, OUT_DIM), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(fcol.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
-    args = [x, g, fcol]
+    args = [x, g, fcol, ibeta.reshape(1, 1)]
     if dir_extra is not None:
         in_specs.append(pl.BlockSpec((tile, dir_extra.shape[1]),
                                      lambda i: (i, 0), memory_space=pltpu.VMEM))
@@ -515,6 +555,9 @@ def _vjp_bwd(cfg, spp, res, g):
         out_shapes.append(jax.ShapeDtypeStruct(a.shape, jnp.float32))
         out_specs.append(pl.BlockSpec(a.shape, lambda i: (0, 0),
                                       memory_space=pltpu.VMEM))
+    out_shapes.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))  # dibeta
+    out_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM))
 
     kern = functools.partial(
         _bwd_kernel, order=tuple(order), cfg=cfg,
@@ -539,14 +582,15 @@ def _vjp_bwd(cfg, spp, res, g):
     dappr = None
     if appr_rows is not None:
         dappr = outs[oi][::8]; oi += 1
-    grads_flat = outs[oi:]
+    grads_flat = outs[oi:-1]
+    dibeta = outs[-1].reshape(ibeta.shape)
     dnets = {}
     for (name, i), ga in zip(order, grads_flat):
         orig = nets[name][i]
         dnets.setdefault(name, []).append(ga.reshape(orig.shape))
     dwb = None if win_b is None else jnp.zeros_like(win_b)
     dwc = None if win_c is None else jnp.zeros_like(win_c)
-    return dx, ddir, dappr, dwb, dwc, dnets
+    return dx, ddir, dappr, dwb, dwc, dnets, dibeta
 
 
 fused_nerf_heads.defvjp(_vjp_fwd, _vjp_bwd)
@@ -555,8 +599,8 @@ fused_nerf_heads.defvjp(_vjp_fwd, _vjp_bwd)
 # ------------------------------------------------------------- jnp oracle
 
 
-def nerf_heads_reference(x, dir_extra, appr_rows, win_b, win_c, nets, cfg,
-                         spp):
+def nerf_heads_reference(x, dir_extra, appr_rows, win_b, win_c, nets,
+                         ibeta, cfg, spp):
     """jnp twin of the kernel dataflow (layouts via embedding.fourier_embed)."""
     from lab4d_tpu.nnutils.embedding import fourier_embed
     from lab4d_tpu.ops.mlp_kernel import mlp_reference
@@ -588,5 +632,13 @@ def nerf_heads_reference(x, dir_extra, appr_rows, win_b, win_c, nets, cfg,
     rgb = rgb_h @ nets["rgb2"][0] + nets["rgb2"][1].reshape(-1)
     vis = run("vis", embed(cfg.nf_vis, None), cfg.skips_vis, False)
     f16 = run("feat", embed(cfg.nf_feat, None), cfg.skips_feat, False)
+    ib = ibeta.reshape(())
+    density = (
+        0.5 + 0.5 * jnp.sign(sdf) * jnp.expm1(-jnp.abs(sdf) * ib)
+    ) * ib
+    rgb = jax.nn.sigmoid(rgb)
+    f16 = f16 / jnp.maximum(
+        jnp.sqrt(jnp.sum(f16 * f16, -1, keepdims=True) + 1e-12), 1e-6
+    )
     pad = jnp.zeros((x.shape[0], OUT_DIM - 5 - f16.shape[-1]))
-    return jnp.concatenate([sdf, rgb, vis, f16, pad], -1)
+    return jnp.concatenate([density, rgb, vis, f16, pad], -1)

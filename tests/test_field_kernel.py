@@ -60,10 +60,13 @@ def setup():
     return x, appr, win_b, win_c, nets, cfg, spp
 
 
+IBETA = jnp.full((1, 1), 2.0)
+
+
 def test_forward_matches_reference(setup):
     x, appr, win_b, win_c, nets, cfg, spp = setup
-    a = fused_nerf_heads(x, None, appr, win_b, win_c, nets, cfg, spp)
-    b = nerf_heads_reference(x, None, appr, win_b, win_c, nets, cfg, spp)
+    a = fused_nerf_heads(x, None, appr, win_b, win_c, nets, IBETA, cfg, spp)
+    b = nerf_heads_reference(x, None, appr, win_b, win_c, nets, IBETA, cfg, spp)
     assert a.shape == (x.shape[0], OUT_DIM)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
@@ -71,16 +74,14 @@ def test_forward_matches_reference(setup):
 def test_grads_match_reference(setup):
     x, appr, win_b, win_c, nets, cfg, spp = setup
 
-    def loss(fn, x, appr, nets):
-        out = fn(x, None, appr, win_b, win_c, nets, cfg, spp)
+    def loss(fn, x, appr, nets, ibeta):
+        out = fn(x, None, appr, win_b, win_c, nets, ibeta, cfg, spp)
         return jnp.sum(jnp.tanh(out[:, :21]) * jnp.arange(1.0, 22.0))
 
-    gf = jax.grad(lambda *a: loss(fused_nerf_heads, *a), argnums=(0, 1, 2))(
-        x, appr, nets
-    )
-    gr = jax.grad(lambda *a: loss(nerf_heads_reference, *a), argnums=(0, 1, 2))(
-        x, appr, nets
-    )
+    gf = jax.grad(lambda *a: loss(fused_nerf_heads, *a),
+                  argnums=(0, 1, 2, 3))(x, appr, nets, IBETA)
+    gr = jax.grad(lambda *a: loss(nerf_heads_reference, *a),
+                  argnums=(0, 1, 2, 3))(x, appr, nets, IBETA)
     np.testing.assert_allclose(np.asarray(gf[0]), np.asarray(gr[0]),
                                atol=2e-3, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(gf[1]), np.asarray(gr[1]),
@@ -91,6 +92,8 @@ def test_grads_match_reference(setup):
                 np.asarray(ga), np.asarray(gb), atol=5e-3, rtol=2e-3,
                 err_msg=f"{name}[{i}]",
             )
+    np.testing.assert_allclose(np.asarray(gf[3]), np.asarray(gr[3]),
+                               atol=5e-3, rtol=2e-3)
 
 
 def test_no_appearance_path(setup):
@@ -98,6 +101,6 @@ def test_no_appearance_path(setup):
     nets = dict(nets)
     nets["rgb1"] = [nets["rgb1"][0][: nets["base"][0].shape[1]],
                     nets["rgb1"][1]]
-    a = fused_nerf_heads(x, None, None, win_b, win_c, nets, cfg, spp)
-    b = nerf_heads_reference(x, None, None, win_b, win_c, nets, cfg, spp)
+    a = fused_nerf_heads(x, None, None, win_b, win_c, nets, IBETA, cfg, spp)
+    b = nerf_heads_reference(x, None, None, win_b, win_c, nets, IBETA, cfg, spp)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
