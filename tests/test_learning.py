@@ -1,0 +1,48 @@
+"""Learning-dynamics test: optimizing the synthetic scene must improve
+eval PSNR — guards against silent loss/gradient plumbing regressions
+that shape/finiteness tests can't catch."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_psnr_improves_with_training(tmp_path):
+    from tests.synthetic import make_synthetic_dataset
+
+    work = str(tmp_path)
+    make_synthetic_dataset(
+        f"{work}/database", seqname="learnsim", num_vids=1, num_frames=8,
+        res=64,
+    )
+    env = dict(os.environ, PYTHONPATH=REPO)
+    res = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "lab4d_tpu", "train.py"),
+            "--seqname", "learnsim", "--logname", "lrn", "--fg_motion",
+            "rigid", "--train_res", "64", "--num_rounds", "3",
+            "--iters_per_round", "20", "--imgs_per_gpu", "8",
+            "--pixels_per_image", "16", "--eval_res", "32", "--save_freq",
+            "3", "--use_cpu", "--database_root", "database",
+        ],
+        cwd=work, env=env, capture_output=True, text=True, timeout=1500,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+
+    psnrs = []
+    with open(f"{work}/logdir/learnsim-lrn/metrics.jsonl") as f:
+        for line in f:
+            rec = json.loads(line)
+            if "eval/psnr" in rec:
+                psnrs.append(rec["eval/psnr"])
+    assert len(psnrs) >= 3, f"expected >=3 eval rounds, got {psnrs}"
+    # PSNR at the last eval must beat the untrained first eval clearly
+    assert psnrs[-1] > psnrs[0] + 1.0, f"no learning signal: {psnrs}"
