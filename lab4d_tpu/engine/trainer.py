@@ -710,13 +710,14 @@ class Trainer:
                 img = np.asarray(v[0]).reshape(res, res, -1)
                 out.setdefault(k, []).append(img)
             if return_ref:
-                side = int(np.sqrt(pair["rgb"].shape[1]))
                 for k in ("rgb", "depth", "mask"):
                     if k not in pair:
                         continue
-                    img = np.asarray(
-                        pair[k][0], np.float32
-                    ).reshape(side, side, -1)
+                    img = np.asarray(pair[k][0], np.float32)
+                    if img.ndim == 2:  # flattened (N, C) full image
+                        side = int(np.sqrt(img.shape[0]))
+                        img = img.reshape(side, side, -1)
+                    side = img.shape[0]
                     if side != res:
                         img = cv2.resize(
                             img, (res, res),
