@@ -287,3 +287,53 @@ def get_xyz_bone_distance(xyz: jnp.ndarray, bone2obj: DualQuaternion) -> jnp.nda
         center.shape[:n_lead] + (1,) * pad + center.shape[n_lead:]
     )
     return jnp.sum((xyz[..., None, :] - center) ** 2, axis=-1)
+
+
+def se3_vec2mat(vec: jnp.ndarray) -> jnp.ndarray:
+    """SE(3) vector -> (..., 4, 4) matrix (geom_utils.py:174-211).
+
+    vec: (..., 7) [tx ty tz, quat wxyz] or (..., 6) [t, axis-angle].
+    """
+    from lab4d_tpu.utils.quat import (
+        axis_angle_to_quaternion,
+        quaternion_to_matrix,
+    )
+
+    t = vec[..., :3]
+    if vec.shape[-1] == 6:
+        q = axis_angle_to_quaternion(vec[..., 3:6])
+    else:
+        q = vec[..., 3:7]
+    R = quaternion_to_matrix(q)
+    mat = jnp.zeros(vec.shape[:-1] + (4, 4), vec.dtype)
+    mat = mat.at[..., :3, :3].set(R)
+    mat = mat.at[..., :3, 3].set(t)
+    return mat.at[..., 3, 3].set(1.0)
+
+
+def se3_mat2vec(mat: jnp.ndarray, outdim: int = 7) -> jnp.ndarray:
+    """SE(3) matrix -> (..., 7) [t, quat] or (..., 6) [t, axis-angle]
+    (geom_utils.py:238-258)."""
+    from lab4d_tpu.utils.quat import matrix_to_quaternion
+
+    t = mat[..., :3, 3]
+    q = matrix_to_quaternion(mat[..., :3, :3])
+    if outdim == 7:
+        return jnp.concatenate([t, q], axis=-1)
+    if outdim == 6:
+        # quat (w, xyz) -> axis-angle
+        w = jnp.clip(q[..., :1], -1.0, 1.0)
+        angle = 2.0 * jnp.arccos(w)
+        s = jnp.sqrt(jnp.maximum(1.0 - w * w, 1e-12))
+        axis = q[..., 1:] / s
+        return jnp.concatenate([t, axis * angle], axis=-1)
+    raise ValueError(outdim)
+
+
+def eval_func_chunk(fn, data: jnp.ndarray, chunk_size: int):
+    """Evaluate fn over the leading axis in fixed chunks
+    (geom_utils.py:425-439) — memory capping for grid/point sweeps."""
+    outs = []
+    for i in range(0, data.shape[0], chunk_size):
+        outs.append(fn(data[i : i + chunk_size]))
+    return jnp.concatenate(outs, axis=0)

@@ -218,3 +218,28 @@ def dual_quaternion_apply(dq: DualQuaternion, pt: jnp.ndarray) -> jnp.ndarray:
 
 def dual_quaternion_norm(dq: DualQuaternion) -> DualQuaternion:
     return dual_quaternion_mul(dq, dual_quaternion_q_conjugate(dq))
+
+
+def dual_quaternion_d_conjugate(dq: DualQuaternion) -> DualQuaternion:
+    """Dual-number conjugate: (r, d) -> (r, -d) (quat_transform.py:449-450)."""
+    return (dq[0], -dq[1])
+
+
+def dual_quaternion_3rd_conjugate(dq: DualQuaternion) -> DualQuaternion:
+    """Combined quaternion + dual conjugate (quat_transform.py:453-455)."""
+    return dual_quaternion_d_conjugate(dual_quaternion_q_conjugate(dq))
+
+
+def dual_quaternion_linear_blend(w: jnp.ndarray, dq_basis: DualQuaternion):
+    """Normalized linear blend of dual-quaternion bases
+    (quat_transform.py:348-371; handles leading batch dims).
+
+    Args:
+        w: (..., N, K) blend weights; dq_basis: ((..., K, T, 4) x 2)
+    Returns:
+        ((..., N, T, 4) x 2) unit dual quaternions
+    """
+    br = jnp.einsum("...nk,...ktd->...ntd", w, dq_basis[0])
+    bd = jnp.einsum("...nk,...ktd->...ntd", w, dq_basis[1])
+    inv = 1.0 / jnp.sqrt(jnp.maximum(jnp.sum(br * br, -1, keepdims=True), 1e-12))
+    return (br * inv, bd * inv)
