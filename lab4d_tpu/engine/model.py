@@ -113,11 +113,16 @@ class DVRModel(nn.Module):
             multifields_dict, deltas_dict
         )
         rendered = render_pixel(field_dict, deltas)
-        for cate in multifields_dict:
-            rendered_cate = render_pixel(
-                multifields_dict[cate], deltas_dict[cate]
-            )
-            aux_dict[cate].update(rendered_cate)
+        if len(multifields_dict) == 1:
+            # single field: composition is identity, the per-category
+            # render would recompute the exact same integration
+            aux_dict[next(iter(multifields_dict))].update(rendered)
+        else:
+            for cate in multifields_dict:
+                rendered_cate = render_pixel(
+                    multifields_dict[cate], deltas_dict[cate]
+                )
+                aux_dict[cate].update(rendered_cate)
 
         if "fg" in aux_dict and "xyz_matches" in aux_dict["fg"]:
             rendered["xyz_matches"] = aux_dict["fg"]["xyz_matches"]

@@ -270,7 +270,8 @@ class CondMLP(nn.Module):
             else jnp.concatenate([row_code, inst_rows], axis=-1)
         )
         return self.backbone(
-            feat, fused=fused, pe_spec=pe_spec, row_code=rows
+            feat, fused=fused, pe_spec=pe_spec, row_code=rows,
+            return_params=return_params,
         )
 
 

@@ -66,14 +66,110 @@ class SkinningField(nn.Module):
         sample-resolution elementwise pass is needed."""
         return get_bone_coords(xyz, bone2obj, scale=self.get_gauss())
 
-    def __call__(self, xyz, bone2obj, frame_id, inst_id):
+    def _time_rows(self, frame_id, num_rows):
+        if frame_id is None:
+            return jnp.broadcast_to(
+                self.time_embedding.mean_embedding().reshape(1, -1),
+                (num_rows, self.time_embedding.out_channels),
+            )
+        return self.time_embedding(frame_id).reshape(num_rows, -1)
+
+    def _quad_path_ok(self, xyz, bone2obj) -> bool:
+        """The bone-coord-free path needs per-pair bones, an identity PE,
+        and no active skip layers in the delta MLP (the fold rewrites only
+        the first layer)."""
+        if self.num_freq_xyz != 0 or bone2obj[0].ndim != 3 or xyz.ndim < 3:
+            return False
+        if self.delta_skin and any(s < self.D for s in self.delta_field.skips):
+            return False
+        return True
+
+    def _quad_call(self, xyz, bone2obj, frame_id, inst_id):
+        """Skinning eval that never materializes the (P, B, 3) bone-coord
+        tensor (profiled at ~5 ms/step of HBM/VPU traffic across the warp
+        call sites on v5e):
+
+        - dist^2 to each scaled bone frame is a per-bone QUADRATIC FORM in
+          x, so all bones reduce to one (P, 10) @ (10, B) matmul against
+          per-pair coefficient tables;
+        - the delta MLP's first layer is affine in x (its input is the
+          affine obj->bone map of x), so the map folds into per-pair
+          effective first-layer weights (M, 3, W) + bias rows.
+        """
+        from lab4d_tpu.utils.quat import (
+            dual_quaternion_to_quaternion_translation,
+            quaternion_to_matrix,
+        )
+
+        q, t = dual_quaternion_to_quaternion_translation(bone2obj)
+        R = quaternion_to_matrix(q)  # (M, B, 3, 3) bone -> obj
+        Rt = R / self.get_gauss()[..., None, :]  # 1/gauss on the bone axis
+        # xyz_bone[m,p,b,i] = sum_j Rt[m,b,j,i] x[m,p,j] - c[m,b,i]
+        c = jnp.einsum("mbj,mbji->mbi", t, Rt)
+        # |xyz_bone|^2 = phi(x) . Q_b with phi the 10-dim quadratic basis
+        A = jnp.einsum("mbji,mbki->mbjk", Rt, Rt)
+        At = jnp.einsum("mbjk,mbk->mbj", A, t)
+        const = jnp.einsum("mbj,mbj->mb", t, At)
+        Q = jnp.concatenate(
+            [
+                A[..., 0, 0:1], A[..., 1, 1:2], A[..., 2, 2:3],
+                2 * A[..., 0, 1:2], 2 * A[..., 0, 2:3], 2 * A[..., 1, 2:3],
+                -2 * At, const[..., None],
+            ],
+            axis=-1,
+        )  # (M, B, 10)
+
+        lead = xyz.shape[:-1]
+        M = xyz.shape[0]
+        x = xyz.reshape(M, -1, 3)
+        x0, x1, x2 = x[..., 0:1], x[..., 1:2], x[..., 2:3]
+        phi = jnp.concatenate(
+            [x * x, x0 * x1, x0 * x2, x1 * x2, x, jnp.ones_like(x0)], axis=-1
+        )  # (M, P, 10)
+        dist2 = jnp.einsum("mpc,mbc->mpb", phi, Q)
+
+        if not self.delta_skin:
+            return -dist2.reshape(lead + dist2.shape[-1:]), None
+
+        t_rows = self._time_rows(frame_id, M)
+        weights, biases, row_adds = self.delta_field(
+            jnp.zeros((M, 1, 3 * self.num_coords)),
+            inst_id,
+            row_code=t_rows,
+            return_params=True,
+        )
+        W1 = weights[0].reshape(self.num_coords, 3, -1)  # (B, 3, W)
+        W1eff = jnp.einsum("mbji,biw->mjw", Rt, W1)  # (M, 3, W)
+        b_fold = jnp.einsum("mbi,biw->mw", c, W1)
+        b1 = biases[0].reshape(1, -1) + row_adds[0] - b_fold  # (M, W)
+        h = jax.nn.relu(
+            jnp.einsum("mpj,mjw->mpw", x, W1eff) + b1[:, None, :]
+        )
+        for i in range(1, len(weights) - 1):
+            h = jax.nn.relu(h @ weights[i] + biases[i].reshape(-1))
+        delta = h @ weights[-1] + biases[-1].reshape(-1)  # (M, P, B)
+        delta = jax.nn.relu(delta) * 0.1
+        skin = -(dist2 + delta)
+        return (
+            skin.reshape(lead + skin.shape[-1:]),
+            delta.reshape(lead + delta.shape[-1:]),
+        )
+
+    def __call__(self, xyz, bone2obj, frame_id, inst_id, quad=None):
         """Args:
             xyz: (M,N,D,3) canonical points
-            bone2obj: ((M,N,D,B,4), (M,N,D,B,4)) dual quaternions
+            bone2obj: ((M,B,4), (M,B,4)) per-pair dual quaternions (or
+                broadcastable sample-resolution bones for the legacy path)
             frame_id: (M,) or None (mean time embedding)
+            quad: force the quadratic-form fast path on/off (tests)
         Returns:
             skin: (M,N,D,B) unnormalized log-weights; delta or None
         """
+        if quad is None:
+            quad = self._quad_path_ok(xyz, bone2obj)
+        if quad:
+            return self._quad_call(xyz, bone2obj, frame_id, inst_id)
+
         xyz_bone = self.get_gauss_bone_coords(xyz, bone2obj)
         dist2 = jnp.sum(xyz_bone**2, axis=-1)
 
@@ -83,15 +179,7 @@ class SkinningField(nn.Module):
             )
             # time codes are constant per pair row -> low-rank row add in
             # the CondMLP instead of a sample-resolution broadcast+concat
-            if frame_id is None:
-                t_rows = jnp.broadcast_to(
-                    self.time_embedding.mean_embedding().reshape(1, -1),
-                    (xyz.shape[0], self.time_embedding.out_channels),
-                )
-            else:
-                t_rows = self.time_embedding(frame_id).reshape(
-                    xyz.shape[0], -1
-                )
+            t_rows = self._time_rows(frame_id, xyz.shape[0])
             delta = self.delta_field(xyz_embed, inst_id, row_code=t_rows)
             delta = jax.nn.relu(delta) * 0.1
             skin = -(dist2 + delta)

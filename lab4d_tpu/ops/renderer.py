@@ -132,11 +132,29 @@ def integrate(field_dict: Dict[str, jnp.ndarray], weights: jnp.ndarray):
     rendered["mask"] = mask
     w_norm = weights / (mask + 1e-6)
 
+    # pack all integrable channels into ONE tensor per weight flavor and
+    # reduce with a single contraction: 16 separate (M,N,D,.) weighted
+    # sums (each with its own backward transpose) cost ~4 ms/step in XLA
+    # glue; one einsum lowers to a single batched matvec
+    groups = {False: [], True: []}  # frozen_weights? -> [(key, value)]
     for k, v in field_dict.items():
         if k in _KEY_SKIP:
             continue
-        wt = jax.lax.stop_gradient(w_norm) if k in _KEY_FREEZE else w_norm
-        rendered[k] = jnp.sum(wt[..., None] * v, axis=-2)
+        groups[k in _KEY_FREEZE].append((k, v))
+    for frozen, items in groups.items():
+        if not items:
+            continue
+        wt = jax.lax.stop_gradient(w_norm) if frozen else w_norm
+        packed = (
+            items[0][1]
+            if len(items) == 1
+            else jnp.concatenate([v for _, v in items], axis=-1)
+        )
+        out = jnp.einsum("...d,...dc->...c", wt, packed)
+        off = 0
+        for k, v in items:
+            rendered[k] = out[..., off : off + v.shape[-1]]
+            off += v.shape[-1]
 
     if "flow" in field_dict:
         w_flow = weights * field_dict["flow"][..., 2]
