@@ -127,19 +127,18 @@ class FeatureNeRF(NeRF):
         win_c = self.pos_embedding_color.get_window(alpha)
 
         ibeta = jnp.exp(self.logibeta).reshape(1, 1)
-        out = fused_nerf_heads(
+        density, rgb, vis, feature = fused_nerf_heads(
             x2, None, appr, win_b, win_c, nets, ibeta, cfg, spp
         )
 
         # the kernel emits final quantities: VolSDF density, sigmoid rgb,
-        # L2-normalized features
+        # L2-normalized features — as separate (P, C) outputs, so these
+        # reshapes are free bitcasts
         lead = xyz.shape[:-1]
-        density = out[:, :1].reshape(lead + (1,))
-        rgb = out[:, 1:4].reshape(lead + (3,))
-        vis = out[:, 4:5].reshape(lead + (1,))
-        feature = out[:, 5 : 5 + self.feature_channels].reshape(
-            lead + (self.feature_channels,)
-        )
+        density = density.reshape(lead + (1,))
+        rgb = rgb.reshape(lead + (3,))
+        vis = vis.reshape(lead + (1,))
+        feature = feature.reshape(lead + (self.feature_channels,))
         return {
             "rgb": rgb,
             "density": density,

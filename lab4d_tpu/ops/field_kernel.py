@@ -9,9 +9,11 @@ canonical point (nerf.py:167-215 + visibility + feature field):
       -> visibility MLP
       -> feature MLP (16-d descriptor)
 
-packed into a single (P, 24) output [sdf, rgb(3), vis, feat(16), pad].
-Replaces 4 fused-MLP kernel launches + XLA head/concat glue, and the
-(P, 128) intermediate features never reach HBM.
+emitted as four outputs (density (P,1), rgb (P,3), vis (P,1),
+feat (P,16)) so each reshapes to its (M,N,D,C) consumer shape as a free
+bitcast — a packed (P,24) output costs ~3.5 ms/step of slice/pad copies
+downstream. Replaces 4 fused-MLP kernel launches + XLA head/concat glue,
+and the (P, 128) intermediate features never reach HBM.
 
 Appearance codes are per-pair rows: the grid is one tile per pair
 (tile = samples-per-pair), so each tile reads its own (1, Ca) row and
@@ -35,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from lab4d_tpu.ops.mlp_kernel import _dot, _fold_sum_blocks, _interpret
 
-OUT_DIM = 24  # [sdf, rgb(3), vis, feat(16), pad(3)]
+OUT_DIMS = (1, 3, 1, 16)  # density, rgb, vis, feat
 
 # hashable static config (custom_vjp nondiff args must be hashable)
 FieldCfg = collections.namedtuple(
@@ -178,8 +180,7 @@ def _forward_tile(x, dir_extra, appr_row, win_b, win_c, nets, cfg, fcol, ibeta):
     fnorm = jnp.sqrt(jnp.sum(f16 * f16, axis=-1, keepdims=True) + 1e-12)
     f16n = f16 / jnp.maximum(fnorm, 1e-6)
 
-    pad = jnp.zeros((T, OUT_DIM - 5 - f16.shape[-1]), jnp.float32)
-    out = jnp.concatenate([density, rgb_act, vis, f16n, pad], axis=-1)
+    out = (density, rgb_act, vis, f16n)
     cache = dict(
         ang=ang, sin_t=sin_t, cos_t=cos_t,
         Xb=Xb, in_b=in_b, feat=feat,
@@ -193,14 +194,10 @@ def _forward_tile(x, dir_extra, appr_row, win_b, win_c, nets, cfg, fcol, ibeta):
 
 
 def _backward_tile(g, x, cache, nets, cfg, win_b, win_c, has_dir, has_appr, fcol):
-    """Backprop the packed gradient; returns (dx, ddir, dappr, net_grads,
-    dibeta)."""
+    """Backprop the per-head gradients; returns (dx, ddir, dappr,
+    net_grads, dibeta)."""
     C = x.shape[1]
-    nf16 = cache["f16"].shape[-1]
-    g_density = g[:, :1]
-    g_rgb_act = g[:, 1:4]
-    g_vis = g[:, 4:5]
-    g_f16n = g[:, 5 : 5 + nf16]
+    g_density, g_rgb_act, g_vis, g_f16n = g
 
     # density = (0.5 + 0.5 sign(s) expm1(-|s| ib)) ib
     sdf, ib = cache["sdf"], cache["ib"]
@@ -317,8 +314,9 @@ def _fwd_kernel(x_ref, fcol_ref, ibeta_ref, *refs, order, cfg, has_dir,
         wb_ref = refs[idx]; idx += 1
     if has_wc:
         wc_ref = refs[idx]; idx += 1
-    net_refs = refs[idx:-1]
-    out_ref = refs[-1]
+    n_out = len(OUT_DIMS)
+    net_refs = refs[idx:-n_out]
+    out_refs = refs[-n_out:]
     nets = _unflatten_nets([r[:] for r in net_refs], order)
     out, _ = _forward_tile(
         x_ref[:],
@@ -328,11 +326,13 @@ def _fwd_kernel(x_ref, fcol_ref, ibeta_ref, *refs, order, cfg, has_dir,
         None if wc_ref is None else wc_ref[:],
         nets, cfg, fcol_ref[:], ibeta_ref[:],
     )
-    out_ref[:] = out
+    for ref, val in zip(out_refs, out):
+        ref[:] = val
 
 
-def _bwd_kernel(x_ref, g_ref, fcol_ref, ibeta_ref, *refs, order, cfg,
-                has_dir, has_appr, has_wb, has_wc, n_nets, tiles_per_pair):
+def _bwd_kernel(x_ref, gd_ref, gr_ref, gv_ref, gf_ref, fcol_ref, ibeta_ref,
+                *refs, order, cfg, has_dir, has_appr, has_wb, has_wc, n_nets,
+                tiles_per_pair):
     idx = 0
     dir_ref = appr_ref = wb_ref = wc_ref = None
     if has_dir:
@@ -358,7 +358,8 @@ def _bwd_kernel(x_ref, g_ref, fcol_ref, ibeta_ref, *refs, order, cfg,
         win_b, win_c, nets, cfg, fcol, ibeta_ref[:],
     )
     dx, ddir, dappr, net_grads, dibeta = _backward_tile(
-        g_ref[:], x, cache, nets, cfg, win_b, win_c, has_dir, has_appr, fcol
+        (gd_ref[:], gr_ref[:], gv_ref[:], gf_ref[:]),
+        x, cache, nets, cfg, win_b, win_c, has_dir, has_appr, fcol,
     )
 
     oi = 0
@@ -411,8 +412,8 @@ def fused_nerf_heads(x, dir_extra, appr_rows, win_b, win_c, nets, ibeta,
     windows (F,) or None; nets: dict of weight lists; ibeta: (1, 1)
     VolSDF inverse-beta; cfg: static FieldCfg; spp: samples-per-pair.
 
-    Returns (P, OUT_DIM) packed [density, sigmoid rgb(3), vis,
-    normalized feat(16), pad]."""
+    Returns (density (P,1), sigmoid rgb (P,3), vis (P,1),
+    normalized feat (P,16))."""
     return _run_fwd(x, dir_extra, appr_rows, win_b, win_c, nets, ibeta,
                     cfg, spp)
 
@@ -470,9 +471,13 @@ def _run_fwd(x, dir_extra, appr_rows, win_b, win_c, nets, ibeta, cfg, spp):
         kern,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((tile, OUT_DIM), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((P, OUT_DIM), jnp.float32),
+        out_specs=tuple(
+            pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            for c in OUT_DIMS
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((P, c), jnp.float32) for c in OUT_DIMS
+        ),
         interpret=_interpret(),
     )(*args)
 
@@ -501,12 +506,14 @@ def _vjp_bwd(cfg, spp, res, g):
     in_specs = [
         pl.BlockSpec((tile, x.shape[1]), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile, OUT_DIM), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        for c in OUT_DIMS
+    ] + [
         pl.BlockSpec(fcol.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
-    args = [x, g, fcol, ibeta.reshape(1, 1)]
+    args = [x, *g, fcol, ibeta.reshape(1, 1)]
     if dir_extra is not None:
         in_specs.append(pl.BlockSpec((tile, dir_extra.shape[1]),
                                      lambda i: (i, 0), memory_space=pltpu.VMEM))
@@ -640,5 +647,4 @@ def nerf_heads_reference(x, dir_extra, appr_rows, win_b, win_c, nets,
     f16 = f16 / jnp.maximum(
         jnp.sqrt(jnp.sum(f16 * f16, -1, keepdims=True) + 1e-12), 1e-6
     )
-    pad = jnp.zeros((x.shape[0], OUT_DIM - 5 - f16.shape[-1]))
-    return jnp.concatenate([density, rgb, vis, f16, pad], -1)
+    return density, rgb, vis, f16

@@ -73,7 +73,9 @@ def compute_weights(density: jnp.ndarray, deltas: jnp.ndarray):
         weights_i = alpha_i * prod_{j<i}(1 - alpha_j),
         transmit_i = prod_{j<=i}(1 - alpha_j)  (exp-transmittance form)
     """
-    tau = (deltas * density)[..., 0]  # (M, N, D)
+    # squeeze BEFORE multiplying: (M,N,D,1) elementwise ops waste 127/128
+    # lanes of every (8,128) tile; (M,N,D) keeps the D axis minor
+    tau = deltas[..., 0] * density[..., 0]  # (M, N, D)
     alpha = 1.0 - jnp.exp(-tau)
     cum = jnp.cumsum(tau, axis=-1)
     transmit_incl = jnp.exp(-cum)  # T_{i+1} = exp(-sum_{j<=i} tau_j)
@@ -109,9 +111,13 @@ def render_pixel(field_dict: Dict[str, jnp.ndarray], deltas: jnp.ndarray):
         rendered["delta_skin"] = field_dict["delta_skin"].mean(axis=(-1, -2))
 
     # visibility BCE: -E_t[ transmit * logsigmoid(vis) ], normalized by mean
-    # visibility so the loss scale is transmittance-invariant
-    is_visible = jax.lax.stop_gradient(transmit[..., None])
-    vis_loss = -jnp.mean(jax.nn.log_sigmoid(field_dict["vis"]) * is_visible, axis=-2)
+    # visibility so the loss scale is transmittance-invariant. Computed on
+    # the squeezed (M,N,D) layout (see compute_weights).
+    is_visible = jax.lax.stop_gradient(transmit)
+    vis_loss = -jnp.mean(
+        jax.nn.log_sigmoid(field_dict["vis"][..., 0]) * is_visible, axis=-1,
+        keepdims=True,
+    )
     vis_loss = vis_loss / jax.lax.stop_gradient(jnp.maximum(is_visible.mean(), 1e-6))
     rendered["vis"] = vis_loss
 

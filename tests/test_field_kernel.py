@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from lab4d_tpu.ops.field_kernel import (
-    OUT_DIM,
+    OUT_DIMS,
     FieldCfg,
     fused_nerf_heads,
     nerf_heads_reference,
@@ -67,16 +67,21 @@ def test_forward_matches_reference(setup):
     x, appr, win_b, win_c, nets, cfg, spp = setup
     a = fused_nerf_heads(x, None, appr, win_b, win_c, nets, IBETA, cfg, spp)
     b = nerf_heads_reference(x, None, appr, win_b, win_c, nets, IBETA, cfg, spp)
-    assert a.shape == (x.shape[0], OUT_DIM)
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+    assert tuple(v.shape for v in a) == tuple(
+        (x.shape[0], c) for c in OUT_DIMS
+    )
+    for va, vb in zip(a, b):
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb), atol=2e-4)
 
 
 def test_grads_match_reference(setup):
     x, appr, win_b, win_c, nets, cfg, spp = setup
 
     def loss(fn, x, appr, nets, ibeta):
-        out = fn(x, None, appr, win_b, win_c, nets, ibeta, cfg, spp)
-        return jnp.sum(jnp.tanh(out[:, :21]) * jnp.arange(1.0, 22.0))
+        out = jnp.concatenate(
+            fn(x, None, appr, win_b, win_c, nets, ibeta, cfg, spp), axis=-1
+        )
+        return jnp.sum(jnp.tanh(out) * jnp.arange(1.0, 22.0))
 
     gf = jax.grad(lambda *a: loss(fused_nerf_heads, *a),
                   argnums=(0, 1, 2, 3))(x, appr, nets, IBETA)
@@ -103,4 +108,5 @@ def test_no_appearance_path(setup):
                     nets["rgb1"][1]]
     a = fused_nerf_heads(x, None, None, win_b, win_c, nets, IBETA, cfg, spp)
     b = nerf_heads_reference(x, None, None, win_b, win_c, nets, IBETA, cfg, spp)
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+    for va, vb in zip(a, b):
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb), atol=2e-4)
