@@ -8,10 +8,22 @@ scan.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+
+
+def _fused_render_enabled() -> bool:
+    """Opt-in: the fused volume-render kernel (ops/render_kernel.py) is
+    numerically exact but measured SLOWER than this XLA path on v5e
+    (129k vs 178k rays/s end-to-end) — its block-identity-matmul
+    formulation of the per-ray<->per-sample moves does ~RT x the minimal
+    integration FLOPs. Kept for experimentation; default off."""
+    if os.environ.get("LAB4D_FUSED_RENDER", "0") != "1":
+        return False
+    return jax.default_backend() == "tpu"
 
 
 def sample_cam_rays(
@@ -102,6 +114,12 @@ _KEY_SKIP = (
 
 def render_pixel(field_dict: Dict[str, jnp.ndarray], deltas: jnp.ndarray):
     """Volume-render field outputs along rays. Parity: render_utils.py:59-96."""
+    if _fused_render_enabled():
+        from lab4d_tpu.ops.render_kernel import render_pixel_fused
+
+        rendered = render_pixel_fused(field_dict, deltas)
+        if rendered is not None:
+            return rendered
     weights, transmit = compute_weights(field_dict["density"], deltas)
     rendered = integrate(field_dict, weights)
 
