@@ -106,6 +106,13 @@ class DVRModel(nn.Module):
 
     def render(self, batch, sched=None, train: bool = True, flow_thresh=None):
         samples_dict = self.get_samples(batch, train=train)
+        return self.render_samples(
+            samples_dict, sched=sched, train=train, flow_thresh=flow_thresh
+        )
+
+    def render_samples(
+        self, samples_dict, sched=None, train: bool = True, flow_thresh=None
+    ):
         multifields_dict, deltas_dict, aux_dict = self.fields.query_multifields(
             samples_dict, sched=sched, train=train, flow_thresh=flow_thresh
         )
@@ -305,9 +312,24 @@ class DVRModel(nn.Module):
 
     def evaluate_chunk(self, batch, sched=None):
         """Render a chunk of rays for evaluation (no losses)."""
+        samples_dict = self.prepare_eval_samples(batch)
+        return self.evaluate_rays(samples_dict, sched=sched)
+
+    def prepare_eval_samples(self, batch):
+        """Per-frame half of eval: frameid resolve, camera/intrinsics MLPs,
+        FK articulations, near-far from proxy corners. All outputs are
+        small per-frame tensors, so callers can run this ONCE per frame and
+        stream ray chunks through evaluate_rays — the camera/FK chain is
+        ~7 ms of tiny-op overhead per jit call on v5e, pure waste when
+        repeated for every chunk of the same frame."""
         batch = dict(batch)
         geo = batch.pop("geo")
         batch = self.process_frameid(batch)
         batch["geo"] = geo
-        results = self.render(batch, sched=sched, train=False)
+        return self.get_samples(batch, train=False)
+
+    def evaluate_rays(self, samples_dict, sched=None):
+        """Per-chunk half of eval: render the rays in samples_dict[cate]
+        ["hxy"] (set by the caller per chunk) against prepared samples."""
+        results = self.render_samples(samples_dict, sched=sched, train=False)
         return results["rendered"]

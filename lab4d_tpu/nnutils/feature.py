@@ -29,14 +29,25 @@ class FeatureNeRF(NeRF):
         )
         self.logsigma = self.param("logsigma", nn.initializers.zeros, (1,))
 
-    def query_all_heads(self, xyz, dir, frame_id, inst_id, sched, train):
+    def query_all_heads(self, xyz, dir, frame_id, inst_id, sched, train,
+                        want_sdf_grad=False):
         """Single-pass field evaluation through the multi-head Pallas
         kernel (ops/field_kernel.py): sdf/rgb/vis/feature from one tile
         sweep. Applies on the training path of single-instance fg fields
         (constant codes fold into biases; the appearance code is the only
-        per-pair conditioning and rides the kernel's per-tile row)."""
+        per-pair conditioning and rides the kernel's per-tile row).
+        want_sdf_grad additionally emits the canonical SDF gradient via
+        in-kernel 3-tangent forward mode (rendering path)."""
         from lab4d_tpu.nnutils.base import _fused_enabled
 
+        if not train:
+            # measured on v5e (skel-quad eval, 256^2, chunk 2048): all-XLA
+            # eval renders at 308 ms/frame vs 685 ms through the kernel —
+            # the pallas call is a fusion boundary that forces the warp/
+            # normal-gradient consumers around it to materialize their
+            # operands in HBM. Training keeps the kernel (it wins there:
+            # the backward's weight-grad accumulation amortizes it)
+            return None
         if not (
             _fused_enabled()
             and self.num_inst == 1
@@ -52,10 +63,12 @@ class FeatureNeRF(NeRF):
 
         M, N, D = xyz.shape[:3]
         spp = N * D
-        from lab4d_tpu.ops.field_kernel import _pick_tile
+        from lab4d_tpu.ops.field_kernel import MAX_TILE_GRAD, _pick_tile
 
         if _pick_tile(spp, MAX_TILE) is None:
             return None
+        if want_sdf_grad and _pick_tile(spp, MAX_TILE_GRAD) is None:
+            want_sdf_grad = False  # autodiff fallback in compute_jacobian
         # all xyz embeddings must share one frequency ladder (prefixes of
         # the color bands)
         fb_c = self.pos_embedding_color.freq_bands
@@ -127,9 +140,17 @@ class FeatureNeRF(NeRF):
         win_c = self.pos_embedding_color.get_window(alpha)
 
         ibeta = jnp.exp(self.logibeta).reshape(1, 1)
-        density, rgb, vis, feature = fused_nerf_heads(
-            x2, None, appr, win_b, win_c, nets, ibeta, cfg, spp
-        )
+        dsdf = None
+        if want_sdf_grad:
+            from lab4d_tpu.ops.field_kernel import fused_nerf_heads_grad
+
+            density, rgb, vis, feature, dsdf = fused_nerf_heads_grad(
+                x2, None, appr, win_b, win_c, nets, ibeta, cfg, spp
+            )
+        else:
+            density, rgb, vis, feature = fused_nerf_heads(
+                x2, None, appr, win_b, win_c, nets, ibeta, cfg, spp
+            )
 
         # the kernel emits final quantities: VolSDF density, sigmoid rgb,
         # L2-normalized features — as separate (P, C) outputs, so these
@@ -139,22 +160,26 @@ class FeatureNeRF(NeRF):
         rgb = rgb.reshape(lead + (3,))
         vis = vis.reshape(lead + (1,))
         feature = feature.reshape(lead + (self.feature_channels,))
-        return {
+        out = {
             "rgb": rgb,
             "density": density,
             f"density_{self.category}": density,
             "vis": vis,
             "feature": feature,
         }
+        if dsdf is not None:
+            # canonical-space SDF gradient, rendering-time only (no VJP)
+            out["dsdf"] = dsdf.reshape(lead + (3,))
+        return out
 
     def query_field(self, samples_dict, sched=None, train=True, flow_thresh=None):
         feat_dict, deltas, aux_dict = super().query_field(
             samples_dict, sched=sched, train=train, flow_thresh=flow_thresh
         )
+        xyz = feat_dict["xyz"]
+        if "feature" not in feat_dict:  # fused path computed it already
+            feat_dict.update(self.compute_feat(xyz, fused=None if train else False))
         if train:
-            xyz = feat_dict["xyz"]
-            if "feature" not in feat_dict:  # fused path computed it already
-                feat_dict.update(self.compute_feat(xyz))
             if "feature" in samples_dict and "feature" in feat_dict:
                 xyz_matches = self.global_match(
                     samples_dict["feature"], feat_dict["feature"], xyz
@@ -172,13 +197,13 @@ class FeatureNeRF(NeRF):
                 aux_dict["xy_reproj"] = xy_reproj
         return feat_dict, deltas, aux_dict
 
-    def compute_feat(self, xyz):
+    def compute_feat(self, xyz, fused=None):
         """Normalized canonical feature at points (feature.py:136-150)."""
         spec = self.feat_pos_embedding.pe_spec(None)
         if spec is None:
-            feat = self.feature_field(self.feat_pos_embedding(xyz))
+            feat = self.feature_field(self.feat_pos_embedding(xyz), fused=fused)
         else:
-            feat = self.feature_field(xyz, pe_spec=spec)
+            feat = self.feature_field(xyz, pe_spec=spec, fused=fused)
         from lab4d_tpu.utils.geom import safe_norm
 
         feat = feat / jnp.maximum(safe_norm(feat), 1e-6)

@@ -182,7 +182,8 @@ class NeRF(nn.Module):
     def sdf_fn(self, xyz, inst_id=None, sched=None):
         return self.forward(xyz, inst_id=inst_id, get_density=False, sched=sched)
 
-    def query_all_heads(self, xyz, dir, frame_id, inst_id, sched, train):
+    def query_all_heads(self, xyz, dir, frame_id, inst_id, sched, train,
+                        want_sdf_grad=False):
         """Hook for the multi-head fused field kernel (FeatureNeRF);
         None = use the per-module path."""
         return None
@@ -255,14 +256,20 @@ class NeRF(nn.Module):
         xyz_t = backwarp_dict["xyz_t"]
 
         feat_dict = self.query_all_heads(
-            xyz, dir, frame_id, inst_id, sched, train
+            xyz, dir, frame_id, inst_id, sched, train,
+            want_sdf_grad=not train,
         )
         if feat_dict is None:
-            vis_score = self.vis_mlp(xyz, inst_id=inst_id)
+            # eval: force the jnp path end-to-end — pallas calls are
+            # fusion boundaries that cost more than they save here (see
+            # query_all_heads' train gate)
+            fuse = None if train else False
+            vis_score = self.vis_mlp(xyz, inst_id=inst_id, fused=fuse)
             feat_dict = self.query_nerf(
-                xyz, dir, frame_id, inst_id, sched, train
+                xyz, dir, frame_id, inst_id, sched, train, fused=fuse
             )
             feat_dict["vis"] = vis_score
+        dsdf = feat_dict.pop("dsdf", None)  # not an integrable channel
 
         if not train:
             # dense-masked analog of the reference's valid-idx sparsification
@@ -292,7 +299,7 @@ class NeRF(nn.Module):
 
         jacob_dict = self.compute_jacobian(
             xyz, xyz_cam, dir_cam, field2cam, frame_id, inst_id, samples_dict,
-            sched, train,
+            sched, train, dsdf=dsdf,
         )
         feat_dict.update(jacob_dict)
 
@@ -338,7 +345,8 @@ class NeRF(nn.Module):
             xyz_cam, dir_cam, field2cam, frame_id, inst_id, samples_dict
         )["xyz"]
         density = self.forward(
-            xyz, frame_id=frame_id, inst_id=inst_id, sched=sched
+            xyz, frame_id=frame_id, inst_id=inst_id, sched=sched,
+            fused=False,  # eval-only pass; keep the graph fusible
         )
         weights, _ = compute_weights(density, deltas)
 
@@ -351,7 +359,8 @@ class NeRF(nn.Module):
         depth_all = jnp.sort(jnp.concatenate([depth, depth_fine], axis=2), axis=2)
         return sample_cam_rays(hxy, Kinv, near_far, depth=depth_all, perturb=False)
 
-    def query_nerf(self, xyz, dir, frame_id, inst_id, sched=None, train=True):
+    def query_nerf(self, xyz, dir, frame_id, inst_id, sched=None, train=True,
+                   fused=None):
         """Dense field evaluation; the valid-idx sparsification of the
         reference (nerf.py:769-819) is intentionally dropped — masked dense
         compute is faster on TPU than gather/scatter compaction.
@@ -366,7 +375,7 @@ class NeRF(nn.Module):
         dir_f = dir.reshape(M, -1, 3) if dir is not None else None
         rgb, density = self.forward(
             xyz_f, dir=dir_f, frame_id=frame_id, inst_id=inst_id, sched=sched,
-            train=train,
+            train=train, fused=fused,
         )
         rgb = rgb.reshape(lead + rgb.shape[-1:])
         density = density.reshape(lead + density.shape[-1:])
@@ -487,10 +496,13 @@ class NeRF(nn.Module):
             xyz = self.backward_warp(
                 pts_cam, dir_cam, field2cam, frame_id, inst_id, samples_dict
             )["xyz"]
-            # first-order grad only (rendering) — the fused kernel's custom
-            # VJP covers it; only true double-backward needs fused=False
+            # jnp twin, not the fused kernel: only the input grad is needed
+            # here, but the pallas VJP always accumulates weight grads too
+            # (small bwd tiles + accumulators) — measured 89 ms vs 20 ms
+            # per 8k-ray eval chunk on v5e
             return self.forward(
-                xyz, inst_id=inst_id, get_density=False, sched=sched
+                xyz, inst_id=inst_id, get_density=False, sched=sched,
+                fused=False,
             ).sum()
 
         g = jax.grad(sdf_sum)(xyz_cam)
@@ -504,10 +516,39 @@ class NeRF(nn.Module):
 
     def compute_jacobian(
         self, xyz, xyz_cam, dir_cam, field2cam, frame_id, inst_id, samples_dict,
-        sched=None, train=True,
+        sched=None, train=True, dsdf=None,
     ):
         if train:
             return {"eikonal": self.compute_eikonal(xyz, inst_id=inst_id, sched=sched)}
+        if dsdf is not None:
+            # chain rule: grad_cam sdf(warp(x)) = J_warp^T grad_xyz sdf,
+            # with grad_xyz sdf from the field megakernel's in-kernel
+            # forward-mode tangents (+2 ms/chunk). J_warp^T v is formed
+            # from 3 warp JVPs — g_j = (J e_j) . v — NOT a VJP: reverse
+            # mode would pin the warp residuals across the pallas call
+            # (XLA cannot fuse through it), measured +48 ms/chunk of HBM
+            # traffic; forward mode keeps nothing alive
+            def warp_fn(pts_cam):
+                return self.backward_warp(
+                    pts_cam, dir_cam, field2cam, frame_id, inst_id,
+                    samples_dict,
+                )["xyz"]
+
+            # barrier: makes the VJP's re-run of the warp forward depend
+            # on dsdf (the kernel output) and blocks CSE with the main
+            # warp pass — so the warp residuals are produced and consumed
+            # entirely after the pallas call instead of being pinned in
+            # HBM across it
+            pc, dsdf_b = jax.lax.optimization_barrier((xyz_cam, dsdf))
+            _, warp_vjp = jax.vjp(warp_fn, pc)
+            g = warp_vjp(dsdf_b)[0]
+            from lab4d_tpu.utils.geom import safe_norm
+
+            gnorm = safe_norm(g)
+            eik = (gnorm - 1.0) ** 2
+            normal = g / jnp.maximum(gnorm, 1e-6)
+            normal = normal * jnp.asarray([1.0, -1.0, -1.0])  # ECON convention
+            return {"eikonal": eik, "normal": normal}
         eik, normal = self.compute_normal(
             xyz_cam, dir_cam, field2cam, frame_id, inst_id, samples_dict, sched
         )

@@ -29,7 +29,8 @@ class VisField(nn.Module):
             skips=(4,),
         )
 
-    def __call__(self, xyz: jnp.ndarray, inst_id=None) -> jnp.ndarray:
+    def __call__(self, xyz: jnp.ndarray, inst_id=None, fused=None):
         return embed_cond_mlp(
-            self.basefield, self.pos_embedding, xyz, inst_id=inst_id
+            self.basefield, self.pos_embedding, xyz, inst_id=inst_id,
+            fused=fused,
         )

