@@ -220,11 +220,21 @@ class Trainer:
             aabb = prev["aabb"] * beta + aabb * (1 - beta)
 
         # camera poses for all filtered frames -> near far
-        quat, trans = self._apply_field_method(cate, "camera_vals")
-        rtmat = np.asarray(quaternion_translation_to_se3(quat, trans))
-        near_far_frames = np.asarray(
-            get_near_far(jnp.asarray(mesh.vertices, jnp.float32), rtmat)
+        quat, trans = jax.device_get(
+            self._apply_field_method(cate, "camera_vals")
         )
+        # host-side geometry on the LOCAL cpu backend: eager jnp on a
+        # remote TPU dispatches op-by-op over the wire, and the ragged
+        # vertex count would recompile a jit every round
+        with jax.default_device(jax.devices("cpu")[0]):
+            rtmat = np.asarray(
+                quaternion_translation_to_se3(
+                    jnp.asarray(quat), jnp.asarray(trans)
+                )
+            )
+            near_far_frames = np.asarray(
+                get_near_far(jnp.asarray(mesh.vertices, jnp.float32), rtmat)
+            )
         nraw = self.data_info["frame_info"].num_frames_raw
         mapping = self.data_info["frame_info"].frame_mapping
         near_far = (
@@ -244,21 +254,38 @@ class Trainer:
         }
 
     def _apply_field_method(self, cate, what, *args):
-        """Host-side helpers bound to a field submodule."""
-        if what == "camera_vals":
-            fn = lambda m: m.fields.field_params[cate].camera_mlp.get_vals()
-            return self.model.apply({"params": self.params}, method=fn)
-        if what == "sdf_grid":
-            fn = lambda m, pts: m.fields.field_params[cate].forward(
-                pts, inst_id=None, get_density=False
-            )
-            return self.model.apply({"params": self.params}, args[0], method=fn)
-        if what == "vis_grid":
-            fn = lambda m, pts: m.fields.field_params[cate].vis_mlp(
-                pts, inst_id=None
-            )
-            return self.model.apply({"params": self.params}, args[0], method=fn)
-        raise ValueError(what)
+        """Host-side helpers bound to a field submodule. Jitted and cached
+        per (cate, what): eager module application dispatches each op
+        individually, which is unusably slow on a remote TPU (a 64^3 SDF
+        grid eval took ~7 s/round eager vs ~0.5 s jitted)."""
+        if not hasattr(self, "_field_method_jit"):
+            self._field_method_jit = {}
+        key = (cate, what)
+        if key not in self._field_method_jit:
+            model = self.model
+            if what == "camera_vals":
+                fn = lambda m: m.fields.field_params[cate].camera_mlp.get_vals()
+                jfn = jax.jit(
+                    lambda p: model.apply({"params": p}, method=fn)
+                )
+            elif what == "sdf_grid":
+                fn = lambda m, pts: m.fields.field_params[cate].forward(
+                    pts, inst_id=None, get_density=False
+                )
+                jfn = jax.jit(
+                    lambda p, pts: model.apply({"params": p}, pts, method=fn)
+                )
+            elif what == "vis_grid":
+                fn = lambda m, pts: m.fields.field_params[cate].vis_mlp(
+                    pts, inst_id=None
+                )
+                jfn = jax.jit(
+                    lambda p, pts: model.apply({"params": p}, pts, method=fn)
+                )
+            else:
+                raise ValueError(what)
+            self._field_method_jit[key] = jfn
+        return self._field_method_jit[key](self.params, *args)
 
     def _dummy_batch(self):
         opts = self.opts
@@ -520,22 +547,61 @@ class Trainer:
         self.trainloader.stop()
 
     def run_one_round(self, round_count):
+        times = {}
+
+        def timed(name, fn):
+            t0 = time.time()
+            out = fn()
+            times[name] = time.time() - t0
+            return out
+
         try:
-            self.model_eval()
+            timed("eval", self.model_eval)
         except Exception as e:  # eval must not kill training
             print(f"[warn] eval failed: {e}")
-        self.update_geometry_aux()
-        self.export_geometry_aux(
-            "%s/%03d" % (self.save_dir, round_count)
+        timed("geo", self.update_geometry_aux)
+        timed(
+            "export",
+            lambda: self.export_geometry_aux(
+                "%s/%03d" % (self.save_dir, round_count)
+            ),
         )
-        self.train_one_round(round_count)
+        timed("train", lambda: self.train_one_round(round_count))
         self.current_round += 1
-        self.save_checkpoint(round_count=self.current_round)
+        timed(
+            "ckpt",
+            lambda: self.save_checkpoint(round_count=self.current_round),
+        )
+        print(
+            "  " + " ".join(f"{k}={v:.1f}s" for k, v in times.items()),
+            flush=True,
+        )
 
     def train_one_round(self, round_count):
         opts = self.opts
         geo = self._geo_for_batch()
-        pending_grad_norm = None  # delayed one step to keep dispatch async
+        # device->host readbacks are batched: each blocking scalar fetch is
+        # a full round-trip (hundreds of ms through a tunneled TPU), so
+        # grad-norm checks and loss logging drain every `drain_every` steps
+        # in ONE device_get. The rollback consequently trails a spike by up
+        # to 10 steps — equivalent recovery: the cache it restores is two
+        # ROUNDS old either way (trainer.py:581-604).
+        drain_every = 10
+        pending = []  # [(step, grad_norm_dev, loss_dict_dev | None)]
+
+        def drain():
+            if not pending:
+                return
+            vals = jax.device_get([p[1] for p in pending])
+            for (step, _, ld), gn in zip(pending, vals):
+                self.check_grad(gn)
+                if ld is not None:
+                    self.log.scalars(
+                        {k: float(v) for k, v in jax.device_get(ld).items()},
+                        step,
+                    )
+            pending.clear()
+
         for i in range(opts["iters_per_round"]):
             batch_np = self.trainloader.next_batch()
             if self._batch_sharding is not None:
@@ -544,7 +610,7 @@ class Trainer:
                     for k, v in batch_np.items()
                 }
             else:
-                batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+                batch = jax.device_put(batch_np)
             batch["geo"] = geo
             rng = jax.random.fold_in(
                 jax.random.PRNGKey(42), self.current_steps
@@ -556,17 +622,15 @@ class Trainer:
                 jnp.asarray(self.current_steps, jnp.float32),
                 rng,
             )
-            if pending_grad_norm is not None:
-                self.check_grad(pending_grad_norm)
-            pending_grad_norm = loss_dict["grad_norm"]
-            if self.current_steps % 10 == 0:
-                self.log.scalars(
-                    {k: float(v) for k, v in loss_dict.items()},
-                    self.current_steps,
-                )
+            pending.append((
+                self.current_steps,
+                loss_dict["grad_norm"],
+                loss_dict if self.current_steps % 10 == 0 else None,
+            ))
+            if len(pending) >= drain_every:
+                drain()
             self.current_steps += 1
-        if pending_grad_norm is not None:
-            self.check_grad(pending_grad_norm)
+        drain()
 
     def check_grad(self, grad_norm, thresh: float = 5.0):
         """Loss-spike rollback (trainer.py:581-604): if the grad norm spikes
@@ -703,11 +767,13 @@ class Trainer:
                 "hxy": jnp.asarray(hxy[None]),
                 "geo": geo,
             }
-            rendered = self._eval_render(self.params, batch)
+            rendered = jax.device_get(  # ONE host transfer for all keys
+                self._eval_render(self.params, batch)
+            )
             for k, v in rendered.items():
                 if v.ndim < 3:
                     continue
-                img = np.asarray(v[0]).reshape(res, res, -1)
+                img = v[0].reshape(res, res, -1)
                 out.setdefault(k, []).append(img)
             if return_ref:
                 for k in ("rgb", "depth", "mask"):
@@ -736,15 +802,20 @@ class Trainer:
         opts = self.opts
         self.model_cache[0] = self.model_cache[1]
         self.opt_cache[0] = self.opt_cache[1]
-        self.model_cache[1] = jax.tree.map(np.asarray, self.params)
-        self.opt_cache[1] = jax.tree.map(np.asarray, self.opt_state)
+        # rollback cache stays ON DEVICE: jnp.copy is an HBM copy (the
+        # step donates its input buffers, so references alone won't do),
+        # while np.asarray would round-trip the full train state to the
+        # host every round (~14 s/round through a tunneled TPU). Only
+        # actual disk saves below pay the device->host readback.
+        self.model_cache[1] = jax.tree.map(jnp.copy, self.params)
+        self.opt_cache[1] = jax.tree.map(jnp.copy, self.opt_state)
 
         if round_count % opts["save_freq"] == 0:
             path = "%s/ckpt_%04d.flax" % (self.save_dir, round_count)
             payload = {
                 "current_steps": self.current_steps,
                 "current_round": self.current_round,
-                "model": self.model_cache[1],
+                "model": jax.tree.map(np.asarray, self.model_cache[1]),
                 "geo_state": self.geo_state,
                 "proxy": {
                     c: (m.vertices, m.faces) for c, m in self.proxy.items()

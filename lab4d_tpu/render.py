@@ -206,10 +206,9 @@ def render_batch(model, params, batch, geo_state, categories, chunk=1024):
                 for cate in samples
             }
             chunks.append(render_rays(params, samples_c))
+        chunks = jax.device_get(chunks)  # ONE transfer for all chunks/keys
         out = {
-            k: np.concatenate([np.asarray(ch[k]) for ch in chunks], axis=1)[
-                :, :npix
-            ]
+            k: np.concatenate([ch[k] for ch in chunks], axis=1)[:, :npix]
             for k in chunks[0]
             if chunks[0][k].ndim >= 3
         }
