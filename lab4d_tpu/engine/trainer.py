@@ -636,8 +636,9 @@ class Trainer:
         """Loss-spike rollback (trainer.py:581-604): if the grad norm spikes
         (or goes non-finite), restore model+optimizer from two rounds ago.
 
-        The check trails the corresponding update by one step so the host
-        never blocks the device pipeline on a scalar readback.
+        Grad norms are drained in batches (see train_one_round), so the
+        check trails the corresponding update by up to 10 steps; the
+        restore point is a two-round-old snapshot either way.
         """
         grad_norm = float(grad_norm)
         bad = (grad_norm > thresh) or not np.isfinite(grad_norm)
