@@ -592,13 +592,14 @@ class Trainer:
         def drain():
             if not pending:
                 return
-            vals = jax.device_get([p[1] for p in pending])
-            for (step, _, ld), gn in zip(pending, vals):
+            gns, lds = jax.device_get(
+                ([p[1] for p in pending], [p[2] for p in pending])
+            )
+            for (step, _, _), gn, ld in zip(pending, gns, lds):
                 self.check_grad(gn)
                 if ld is not None:
                     self.log.scalars(
-                        {k: float(v) for k, v in jax.device_get(ld).items()},
-                        step,
+                        {k: float(v) for k, v in ld.items()}, step
                     )
             pending.clear()
 
@@ -646,8 +647,12 @@ class Trainer:
             print(
                 f"large grad: {grad_norm:.2f}, resume from cached weights"
             )
-            self.params = jax.tree.map(jnp.asarray, self.model_cache[0])
-            self.opt_state = jax.tree.map(jnp.asarray, self.opt_cache[0])
+            # jnp.copy, NOT asarray: the cache holds device arrays and
+            # asarray would alias them — the next donated train step
+            # would delete the cache's buffers, so a second spike in the
+            # same round would read deleted arrays
+            self.params = jax.tree.map(jnp.copy, self.model_cache[0])
+            self.opt_state = jax.tree.map(jnp.copy, self.opt_cache[0])
 
     # ------------------------------------------------------ geometry upkeep
 

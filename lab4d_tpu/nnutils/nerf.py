@@ -255,9 +255,12 @@ class NeRF(nn.Module):
         dir = backwarp_dict["dir"]
         xyz_t = backwarp_dict["xyz_t"]
 
+        # NOTE: want_sdf_grad stays False — rendering runs all-XLA (the
+        # kernel path returns None for train=False), so the in-kernel SDF
+        # gradient (fused_nerf_heads_grad) is an experiment reachable only
+        # through tests; see docs/performance.md
         feat_dict = self.query_all_heads(
-            xyz, dir, frame_id, inst_id, sched, train,
-            want_sdf_grad=not train,
+            xyz, dir, frame_id, inst_id, sched, train
         )
         if feat_dict is None:
             # eval: force the jnp path end-to-end — pallas calls are
@@ -523,11 +526,13 @@ class NeRF(nn.Module):
         if dsdf is not None:
             # chain rule: grad_cam sdf(warp(x)) = J_warp^T grad_xyz sdf,
             # with grad_xyz sdf from the field megakernel's in-kernel
-            # forward-mode tangents (+2 ms/chunk). J_warp^T v is formed
-            # from 3 warp JVPs — g_j = (J e_j) . v — NOT a VJP: reverse
-            # mode would pin the warp residuals across the pallas call
-            # (XLA cannot fuse through it), measured +48 ms/chunk of HBM
-            # traffic; forward mode keeps nothing alive
+            # forward-mode tangents (+2 ms/chunk), then one reverse-mode
+            # VJP through the warp only. Measured alternatives at 8k-ray
+            # chunks: full reverse through warp+MLP via the kernel VJP
+            # 89 ms, 3 warp JVPs 136 ms (triple primal recompute), this
+            # form 88 ms embedded / 10 ms standalone — the remaining gap
+            # is the pallas fusion boundary, which is why the default
+            # eval path avoids the kernel entirely
             def warp_fn(pts_cam):
                 return self.backward_warp(
                     pts_cam, dir_cam, field2cam, frame_id, inst_id,

@@ -82,10 +82,14 @@ def _block_mask(RT, T, D):
 
 
 def _weights(tau, U):
-    """Volume-rendering weights from (RT, D) tau. U[k, j] = 1 if k <= j."""
+    """Volume-rendering weights from (RT, D) tau. U[k, j] = 1 if k <= j.
+
+    T_excl uses the shifted-sum form exp(tau - cum_incl): the product
+    T_incl * exp(tau) is 0 * inf = NaN once tau >~ 88 (f32), which a
+    density spike late in training can reach."""
     cum_incl = _dot(tau, U)
     T_incl = jnp.exp(-cum_incl)
-    T_excl = T_incl * jnp.exp(tau)
+    T_excl = jnp.exp(tau - cum_incl)
     alpha = 1.0 - jnp.exp(-tau)
     w = alpha * T_excl
     return w, T_incl, T_excl
@@ -222,16 +226,16 @@ def _bwd_body(dens, vis, vAll, deltas, exM, flow, gdens, U, E, cfg,
 
     # dw -> dtau:  dtau_k = dw_k e^{-tau_k} T_excl_k - sum_{j>k} dw_j w_j
     L = 1.0 - U  # L[j, k] = 1 if j > k
-    dtau = dw * jnp.exp(-tau) * T_excl - _dot(dw * w, L)
+    dtau = dw * T_incl - _dot(dw * w, L)  # exp(-tau)*T_excl == T_incl
     ddeltas = dtau * dens
     ddens = dtau * deltas
 
     dgdens = None
     if gdens is not None:
         gtau = gdens * deltas
-        gw, _, gT_excl = _weights(gtau, U)
+        gw, gT_incl, _ = _weights(gtau, U)
         dgw = jnp.broadcast_to(g_gmask, gw.shape)
-        dgtau = dgw * jnp.exp(-gtau) * gT_excl - _dot(dgw * gw, L)
+        dgtau = dgw * gT_incl - _dot(dgw * gw, L)
         ddeltas = ddeltas + dgtau * gdens
         dgdens = dgtau * deltas
 
@@ -564,7 +568,7 @@ def volume_render_reference(dens, vis, vAll, deltas, exM, flow, gdens, cfg):
     tau = deltas * dens
     cum = jnp.cumsum(tau, axis=-1)
     T_incl = jnp.exp(-cum)
-    T_excl = T_incl * jnp.exp(tau)
+    T_excl = jnp.exp(tau - cum)  # overflow-safe (see _weights)
     alpha = 1.0 - jnp.exp(-tau)
     w = alpha * T_excl
     S = jnp.sum(w, axis=-1, keepdims=True)
@@ -602,7 +606,7 @@ def volume_render_reference(dens, vis, vAll, deltas, exM, flow, gdens, cfg):
     if gdens is not None:
         gtau = deltas * gdens
         gcum = jnp.cumsum(gtau, axis=-1)
-        gw = (1.0 - jnp.exp(-gtau)) * jnp.exp(-gcum) * jnp.exp(gtau)
+        gw = (1.0 - jnp.exp(-gtau)) * jnp.exp(gtau - gcum)
         gmask = jnp.sum(gw, axis=-1, keepdims=True)
 
     zero = jnp.zeros((R, 1))
