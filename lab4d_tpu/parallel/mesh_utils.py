@@ -4,10 +4,14 @@ Replaces the reference's NCCL/DDP layer (train.py:28-33, trainer.py:110-115):
 parallelism is expressed as sharding annotations on a jitted step.
 Axes:
   data  — shards the ray/image batch (DP parity with DDP)
-  video — shards per-video streams for category models (RAC-style)
+  video — shards per-video parameter tables + pixel streams for category
+          models (RAC-style, docs/source/tutorials/category_model.rst:41)
 
 Multi-host (DCN) extends the same mesh via jax.distributed.initialize;
 collectives ride ICI within a slice.
+
+Used by engine/trainer.py (train-step shardings), lab4d_tpu/train.py
+(multi-host init) and __graft_entry__.dryrun_multichip.
 """
 
 from __future__ import annotations
@@ -17,6 +21,18 @@ from typing import Dict, Optional
 import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+# Parameter-name tokens that mark per-video tables (leading dim = num
+# videos): instance codes (embedding.py:230-294 in the reference), camera
+# base rotations (pose.py:60-77 here), intrinsics base focal/ppoint.
+PER_VIDEO_PARAM_TOKENS = (
+    "inst_embedding",
+    "base_quat",
+    "base_logfocal",
+    "base_ppoint",
+    "base_trans",
+)
 
 
 def make_mesh(
@@ -31,18 +47,58 @@ def make_mesh(
     return Mesh(arr, ("data", "video"))
 
 
-def batch_sharding(mesh: Mesh):
-    """Shard the leading (image) axis of every batch leaf over "data"."""
-    return NamedSharding(mesh, P("data"))
+def batch_pspec() -> P:
+    """Shard the leading (image) axis of batch leaves over BOTH mesh axes:
+    each device holds its own slice of the pixel stream (DP over rays; the
+    category config additionally splits the stream by video shard)."""
+    return P(("data", "video"))
 
 
-def replicated(mesh: Mesh):
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, batch_pspec())
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def param_pspecs(params, num_vids: int, num_video_shards: int):
+    """PartitionSpec tree for the model params: per-video tables are
+    sharded on axis 0 over "video", everything else replicated.
+
+    A leaf is per-video iff its path contains one of
+    PER_VIDEO_PARAM_TOKENS *and* its leading dim equals ``num_vids``
+    (the name check avoids false positives like a (4,)-bias on a
+    quaternion head).
+    """
+    import jax.tree_util as jtu
+
+    def spec(path, leaf):
+        if num_video_shards > 1 and num_vids % num_video_shards == 0:
+            names = "/".join(str(getattr(k, "key", k)) for k in path)
+            if (
+                any(tok in names for tok in PER_VIDEO_PARAM_TOKENS)
+                and getattr(leaf, "ndim", 0) >= 1
+                and leaf.shape[0] == num_vids
+            ):
+                return P("video")
+        return P()
+
+    flat, tree = jtu.tree_flatten_with_path(params)
+    return jtu.tree_unflatten(tree, [spec(p, x) for p, x in flat])
+
+
+def param_shardings(mesh: Mesh, params, num_vids: int):
+    """NamedSharding tree matching :func:`param_pspecs` on ``mesh``."""
+    num_video_shards = mesh.shape.get("video", 1)
+    specs = param_pspecs(params, num_vids, num_video_shards)
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                        is_leaf=lambda x: isinstance(x, P))
+
+
 def shard_batch(batch: Dict, mesh: Mesh):
-    """Device-put a host batch with its leading axis sharded over "data";
-    scalars and geo state are replicated."""
+    """Device-put a host batch with its leading axis sharded over the
+    mesh; scalars and geo state are replicated."""
     data_s = batch_sharding(mesh)
     repl = replicated(mesh)
 
@@ -62,7 +118,12 @@ def shard_batch(batch: Dict, mesh: Mesh):
 
 
 def init_distributed():
-    """Multi-host init (no-op on single host)."""
+    """Multi-host init (no-op on single host).
+
+    Mirrors the reference's torch.distributed.init_process_group
+    (train.py:28-33) — on TPU pods the coordinator/topology comes from the
+    environment, so this is a single call guarded by an env flag.
+    """
     import os
 
     if os.environ.get("LAB4D_MULTIHOST", "0") == "1":
