@@ -68,6 +68,12 @@ class TrainOptConfig:
 
     # efficiency-related
     flags.DEFINE_integer("ngpu", 1, "number of chips to shard the ray batch over")
+    flags.DEFINE_integer(
+        "video_shards", 1,
+        "mesh 'video' axis size for category models: shards per-video "
+        "instance codes / camera tables / pixel streams (must divide ngpu "
+        "and the video count)",
+    )
     flags.DEFINE_integer("num_workers", 2, "number of data-loading threads")
     flags.DEFINE_integer("eval_res", 64, "size used for eval visualizations")
     flags.DEFINE_integer("save_freq", 10, "params saving frequency")
@@ -79,8 +85,14 @@ class TrainOptConfig:
 
 
 def get_config():
-    """Return flags as a plain dict (parity: config.py:85-86)."""
-    return opts.flag_values_dict()
+    """Return flags as a plain dict (parity: config.py:85-86), validated
+    against the hierarchical schema (config_hier.validate) so bad flag
+    combinations fail at startup."""
+    from lab4d_tpu.config_hier import validate
+
+    flat = opts.flag_values_dict()
+    validate(flat)
+    return flat
 
 
 def save_config():

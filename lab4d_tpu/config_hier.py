@@ -71,11 +71,51 @@ class OptConfig:
 @dataclass
 class EfficiencyConfig:
     ngpu: int = 1
+    video_shards: int = 1
     num_workers: int = 2
     eval_res: int = 64
     save_freq: int = 10
     profile: bool = False
     use_cpu: bool = False
+
+
+# legal values for the string-enum flags (config.py / warping.create_warp)
+FIELD_TYPES = ("fg", "bg", "comp")
+FG_MOTIONS = (
+    "rigid", "dense", "nvp", "bob", "skel-human", "skel-quad",
+    "comp_skel-human_dense", "comp_skel-quad_dense",
+)
+
+
+def validate(flat: Dict) -> None:
+    """Validate a flat opts dict against this hierarchical schema: every
+    schema field must be present with the right type, and string enums
+    must hold legal values. Called by config.get_config() so a typo'd or
+    mistyped flag fails fast at startup instead of deep in the trainer."""
+    cfg = Config()
+    for group in dataclasses.fields(Config):
+        sub = getattr(cfg, group.name)
+        for f in dataclasses.fields(sub):
+            if f.name not in flat:
+                raise ValueError(f"missing config key: {group.name}.{f.name}")
+            v = flat[f.name]
+            want = type(getattr(sub, f.name))
+            if want is float and isinstance(v, int):
+                continue  # int literals are fine for float flags
+            if not isinstance(v, want):
+                raise TypeError(
+                    f"config key {f.name}: expected {want.__name__}, "
+                    f"got {type(v).__name__} ({v!r})"
+                )
+    if flat["field_type"] not in FIELD_TYPES:
+        raise ValueError(f"field_type must be one of {FIELD_TYPES}")
+    fg = flat["fg_motion"]
+    if fg not in FG_MOTIONS and not fg.startswith(("skel-", "comp_")):
+        raise ValueError(f"fg_motion {fg!r} not in {FG_MOTIONS}")
+    for k in ("num_rounds", "iters_per_round", "imgs_per_gpu",
+              "pixels_per_image", "ngpu", "video_shards", "train_res"):
+        if flat[k] <= 0:
+            raise ValueError(f"config key {k} must be positive, got {flat[k]}")
 
 
 @dataclass

@@ -160,34 +160,73 @@ class TrainBatchLoader:
         num_workers: int = 2,
         prefetch: int = 4,
         seed: int = 0,
+        total_shards: int = 1,
+        video_shards: int = 1,
     ):
         self.datasets = datasets
         self.imgs_per_batch = imgs_per_batch
+        # sharded pixel streams: with a ("data","video") mesh the trainer
+        # shards the leading batch axis into total_shards slices; slice j
+        # lands on video-shard j % video_shards and must only carry images
+        # of videos in that group (di % video_shards == j % video_shards)
+        # so per-video table lookups stay shard-local.
+        self.total_shards = max(1, total_shards)
+        self.video_shards = max(1, video_shards)
+        assert self.total_shards % self.video_shards == 0
+        assert imgs_per_batch % self.total_shards == 0
         # frame index pool: (dataset_idx, frame_idx) for all valid pair starts
         pool = []
         for di, ds in enumerate(datasets):
             pool += [(di, fi) for fi in range(len(ds))]
         self.pool = np.asarray(pool, dtype=np.int64)
+        if self.video_shards > 1:
+            self.group_pools = [
+                self.pool[self.pool[:, 0] % self.video_shards == g]
+                for g in range(self.video_shards)
+            ]
+            assert all(len(p) for p in self.group_pools), (
+                "every video shard needs at least one video"
+            )
         self.rng = np.random.default_rng(seed)
         self.num_workers = max(1, num_workers)
         self.queue: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._threads = []
 
+    def _pick_pairs(self, rng) -> np.ndarray:
+        """Ordered (imgs_per_batch, 2) array of (dataset_idx, frame_idx)."""
+        if self.video_shards == 1:
+            picks = rng.integers(0, len(self.pool), size=self.imgs_per_batch)
+            return self.pool[picks]
+        # block j of the leading axis (block = one device slice) draws from
+        # video group j % video_shards
+        m = self.imgs_per_batch // self.total_shards
+        blocks = []
+        for j in range(self.total_shards):
+            gpool = self.group_pools[j % self.video_shards]
+            blocks.append(gpool[rng.integers(0, len(gpool), size=m)])
+        return np.concatenate(blocks, axis=0)
+
     def _make_batch(self, rng) -> Dict[str, np.ndarray]:
-        picks = rng.integers(0, len(self.pool), size=self.imgs_per_batch)
-        # group picks per video so each native gather covers many frames
+        ordered = self._pick_pairs(rng)
+        # group picks per video so each native gather covers many frames,
+        # then scatter rows back to the ordered (shard-aligned) layout
         by_vid: Dict[int, list] = {}
-        for p in picks:
-            di, fi = self.pool[p]
+        order: Dict[int, list] = {}
+        for row, (di, fi) in enumerate(ordered):
             by_vid.setdefault(int(di), []).append(int(fi))
+            order.setdefault(int(di), []).append(row)
         chunks = [
-            self.datasets[di].load_pairs_batch(fis, rng)
+            (self.datasets[di].load_pairs_batch(fis, rng), order[di])
             for di, fis in by_vid.items()
         ]
-        return {
-            k: np.concatenate([c[k] for c in chunks], axis=0) for k in chunks[0]
-        }
+        out = {}
+        rows = np.concatenate([np.asarray(r) for _, r in chunks])
+        inv = np.argsort(rows)
+        for k in chunks[0][0]:
+            cat = np.concatenate([c[k] for c, _ in chunks], axis=0)
+            out[k] = cat[inv]
+        return out
 
     def _worker(self, wid: int):
         rng = np.random.default_rng(self.rng.integers(0, 2**31) + wid)

@@ -26,6 +26,7 @@ from flax import serialization
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lab4d_tpu.dataloader import data_utils
+from lab4d_tpu.parallel import mesh_utils
 from lab4d_tpu.engine import init_utils
 from lab4d_tpu.engine.model import DVRModel
 from lab4d_tpu.engine.schedules import compute_sched
@@ -121,12 +122,30 @@ class Trainer:
         self.data_info = data_utils.get_data_info(self.eval_datasets)
 
         devices = jax.devices()
-        self.num_data_shards = min(opts.get("ngpu", 1), len(devices))
-        imgs_per_batch = opts["imgs_per_gpu"] * self.num_data_shards
+        num_shards = min(opts.get("ngpu", 1), len(devices))
+        # category-model scale-out (ref docs/source/tutorials/
+        # category_model.rst:41): split the mesh into ("data","video") and
+        # shard per-video parameter tables + the pixel stream over "video"
+        num_vids = self.data_info["frame_info"].num_vids
+        num_video = opts.get("video_shards", 1)
+        if num_video > 1 and (
+            num_shards % num_video != 0 or num_vids % num_video != 0
+        ):
+            print(
+                f"[warn] video_shards={num_video} does not divide "
+                f"ngpu={num_shards} and num_vids={num_vids}; "
+                "falling back to pure data parallelism"
+            )
+            num_video = 1
+        self.num_video_shards = num_video
+        self.num_data_shards = num_shards // num_video
+        imgs_per_batch = opts["imgs_per_gpu"] * num_shards
         self.trainloader = data_utils.TrainBatchLoader(
             self.datasets,
             imgs_per_batch=imgs_per_batch,
             num_workers=opts.get("num_workers", 2),
+            total_shards=num_shards,
+            video_shards=num_video,
         )
         self.total_steps = opts["num_rounds"] * opts["iters_per_round"]
 
@@ -481,15 +500,26 @@ class Trainer:
                 labels,
             ),
         )
-        self.opt_state = self.tx.init(self.params)
         self._build_train_step()
 
     def _build_train_step(self):
+        """Jit the train step over a ("data","video") device mesh.
+
+        Parallelism layout (replaces DDP, ref trainer.py:110-115):
+          * batch leading axis sharded over both mesh axes (DP over rays)
+          * per-video parameter tables (instance codes, camera base
+            rotations, intrinsics base values) sharded over "video";
+            everything else replicated
+          * gradients reduced by XLA psum (implicit in the jit partition)
+        Optimizer moments inherit their parameter's sharding because
+        optax's zeros_like runs on the already-placed params.
+        """
         model, tx = self.model, self.tx
-        mesh_devices = jax.devices()[: self.num_data_shards]
-        self.mesh = Mesh(np.asarray(mesh_devices), ("data",))
-        batch_sharding = jax.tree.map(
-            lambda _: NamedSharding(self.mesh, P("data")), 0
+        total_shards = self.num_data_shards * self.num_video_shards
+        self.mesh = mesh_utils.make_mesh(
+            self.num_data_shards,
+            self.num_video_shards,
+            jax.devices()[:total_shards],
         )
 
         def train_step(params, opt_state, batch, step, rng):
@@ -516,16 +546,24 @@ class Trainer:
             loss_dict["grad_norm"] = grad_norm
             return new_params, new_opt_state, loss_dict
 
-        if self.num_data_shards > 1:
-            repl = NamedSharding(self.mesh, P())
+        if total_shards > 1:
+            num_vids = self.data_info["frame_info"].num_vids
+            param_sh = mesh_utils.param_shardings(
+                self.mesh, self.params, num_vids
+            )
+            self.params = jax.device_put(self.params, param_sh)
+            self.opt_state = mesh_utils.init_opt_state(tx, self.params, self.mesh)
+            opt_sh = jax.tree.map(lambda x: x.sharding, self.opt_state)
+            repl = mesh_utils.replicated(self.mesh)
             self._train_step = jax.jit(
                 train_step,
                 donate_argnums=(0, 1),
-                in_shardings=(repl, repl, None, None, None),
-                out_shardings=(repl, repl, repl),
+                in_shardings=(param_sh, opt_sh, None, None, None),
+                out_shardings=(param_sh, opt_sh, repl),
             )
-            self._batch_sharding = NamedSharding(self.mesh, P("data"))
+            self._batch_sharding = mesh_utils.batch_sharding(self.mesh)
         else:
+            self.opt_state = tx.init(self.params)
             self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
             self._batch_sharding = None
 

@@ -96,6 +96,23 @@ def param_shardings(mesh: Mesh, params, num_vids: int):
                         is_leaf=lambda x: isinstance(x, P))
 
 
+def init_opt_state(tx, params, mesh: Mesh):
+    """Optimizer init on already-sharded params: moments created via
+    zeros_like inherit their parameter's sharding; leaves created from
+    scratch (e.g. adam's step count) land on a single device and are
+    re-placed replicated so every train-step argument lives on ``mesh``."""
+    opt_state = tx.init(params)
+    repl = replicated(mesh)
+
+    def fix(x):
+        sh = getattr(x, "sharding", None)
+        if isinstance(sh, NamedSharding) and sh.mesh == mesh:
+            return x
+        return jax.device_put(x, repl)
+
+    return jax.tree.map(fix, opt_state)
+
+
 def shard_batch(batch: Dict, mesh: Mesh):
     """Device-put a host batch with its leading axis sharded over the
     mesh; scalars and geo state are replicated."""

@@ -30,6 +30,11 @@ def train(_):
         jax.config.update("jax_platforms", "cpu")
     save_config()
 
+    # multi-host (DCN) init — no-op on a single host (ref train.py:28-33)
+    from lab4d_tpu.parallel.mesh_utils import init_distributed
+
+    init_distributed()
+
     from lab4d_tpu.engine.trainer import Trainer
 
     trainer = Trainer(opts)

@@ -97,3 +97,32 @@ def test_zip_tools(tmp_path, monkeypatch):
     import zipfile
 
     assert zipfile.ZipFile(out).namelist() == ["seq-run/opts.log"]
+
+
+def test_config_hier_validation():
+    """config_hier is wired into get_config(): schema validation rejects
+    bad enum values, wrong types, and non-positive sizes."""
+    import pytest
+
+    from lab4d_tpu.config_hier import Config, validate
+
+    good = Config().to_opts()
+    validate(good)  # defaults are legal
+    with pytest.raises(ValueError):
+        validate(dict(good, field_type="nope"))
+    with pytest.raises(ValueError):
+        validate(dict(good, fg_motion="wiggle"))
+    validate(dict(good, fg_motion="skel-quad"))
+    validate(dict(good, fg_motion="comp_skel-human_dense"))
+    with pytest.raises(ValueError):
+        validate(dict(good, num_rounds=0))
+    with pytest.raises(TypeError):
+        validate(dict(good, train_res="big"))
+    missing = dict(good)
+    del missing["ngpu"]
+    with pytest.raises(ValueError):
+        validate(missing)
+    # json round-trip preserves values
+    cfg = Config.from_opts(dict(good, ngpu=4, video_shards=2))
+    back = Config.from_json(cfg.to_json()).to_opts()
+    assert back["ngpu"] == 4 and back["video_shards"] == 2
