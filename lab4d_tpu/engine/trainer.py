@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import json
 import os
-import pickle
 import shutil
 import time
 from functools import partial
@@ -554,6 +553,7 @@ class Trainer:
             self.params = jax.device_put(self.params, param_sh)
             self.opt_state = mesh_utils.init_opt_state(tx, self.params, self.mesh)
             opt_sh = jax.tree.map(lambda x: x.sharding, self.opt_state)
+            self._param_sh, self._opt_sh = param_sh, opt_sh
             repl = mesh_utils.replicated(self.mesh)
             self._train_step = jax.jit(
                 train_step,
@@ -856,36 +856,76 @@ class Trainer:
 
         if round_count % opts["save_freq"] == 0:
             path = "%s/ckpt_%04d.flax" % (self.save_dir, round_count)
+            # msgpack checkpoint (no pickle: safe to load, stable across
+            # refactors). Optimizer state IS saved — the reference stores
+            # it too (trainer.py:276-285); resuming mid-run keeps Adam
+            # moments instead of restarting them against a resumed LR.
             payload = {
-                "current_steps": self.current_steps,
-                "current_round": self.current_round,
+                "manifest": {
+                    "format": 1,
+                    "current_steps": int(self.current_steps),
+                    "current_round": int(self.current_round),
+                },
                 "model": jax.tree.map(np.asarray, self.model_cache[1]),
-                "geo_state": self.geo_state,
+                "opt_state": jax.tree.map(
+                    np.asarray, serialization.to_state_dict(self.opt_cache[1])
+                ),
+                "geo_state": jax.tree.map(np.asarray, self.geo_state),
                 "proxy": {
-                    c: (m.vertices, m.faces) for c, m in self.proxy.items()
+                    c: {
+                        "vertices": np.asarray(m.vertices, np.float32),
+                        "faces": np.asarray(m.faces, np.int32),
+                    }
+                    for c, m in self.proxy.items()
                 },
             }
             with open(path, "wb") as f:
-                pickle.dump(payload, f)
+                f.write(serialization.msgpack_serialize(payload))
             shutil.copy(path, "%s/ckpt_latest.flax" % self.save_dir)
             print(f"saved checkpoint round {round_count}")
 
     @staticmethod
     def load_checkpoint(load_path: str):
         with open(load_path, "rb") as f:
-            return pickle.load(f)
+            ckpt = serialization.msgpack_restore(f.read())
+        # flatten the manifest for callers (back-compat with the old keys)
+        ckpt.update(ckpt.get("manifest", {}))
+        return ckpt
 
     def load_checkpoint_train(self):
         ckpt = self.load_checkpoint(self.opts["load_path"])
         self.params = _merge_params(self.params, ckpt["model"])
         if not self.opts["reset_steps"]:
-            self.current_steps = ckpt["current_steps"]
-            self.current_round = ckpt["current_round"]
-        for cate, (v, f) in ckpt.get("proxy", {}).items():
+            self.current_steps = int(ckpt["current_steps"])
+            self.current_round = int(ckpt["current_round"])
+        self._restore_opt_state(ckpt.get("opt_state"))
+        for cate, pm in ckpt.get("proxy", {}).items():
             if cate in self.categories:
-                self.proxy[cate] = TriMesh(v, f)
+                self.proxy[cate] = TriMesh(pm["vertices"], pm["faces"])
         for cate in self.categories:
             self._reset_geo_state(cate, beta=0.0)
+        if self._batch_sharding is not None:
+            # loaded leaves are host arrays: re-place on the mesh
+            self.params = jax.device_put(self.params, self._param_sh)
+            self.opt_state = jax.device_put(self.opt_state, self._opt_sh)
+
+    def _restore_opt_state(self, loaded) -> bool:
+        """Restore optimizer moments when the architecture matches exactly
+        (every leaf present with the same shape); otherwise keep the fresh
+        init — a transfer/architecture-delta load starts Adam from zero,
+        matching the reference's opt-in behavior (trainer.py:303-308)."""
+        if loaded is None:
+            return False
+        current = serialization.to_state_dict(self.opt_state)
+        cur_flat = flax.traverse_util.flatten_dict(current)
+        new_flat = flax.traverse_util.flatten_dict(loaded)
+        if set(cur_flat) != set(new_flat) or any(
+            np.shape(cur_flat[k]) != np.shape(new_flat[k]) for k in cur_flat
+        ):
+            print("[warn] optimizer state mismatch; Adam moments reset")
+            return False
+        self.opt_state = serialization.from_state_dict(self.opt_state, loaded)
+        return True
 
     # -------------------------------------------------------- test-time use
 
@@ -917,7 +957,10 @@ class Trainer:
         ckpt = Trainer.load_checkpoint(load_path)
         params = ckpt["model"]
         geo_state = ckpt["geo_state"]
-        proxy = {c: TriMesh(v, f) for c, (v, f) in ckpt["proxy"].items()}
+        proxy = {
+            c: TriMesh(pm["vertices"], pm["faces"])
+            for c, pm in ckpt["proxy"].items()
+        }
         return model, params, geo_state, proxy, data_info, eval_datasets
 
 
