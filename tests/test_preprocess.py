@@ -186,3 +186,55 @@ def test_write_config(raw_scene):
     assert n == 1
     cfg = open(f"{root}/configs/rawsim.config").read()
     assert "img_path" in cfg and "ks = 96 96 48 48" in cfg
+
+
+def test_manual_camera_annotator_server(tmp_path):
+    """Browser annotator HTTP contract: meta/mesh/frame endpoints serve,
+    POST /save writes 01-manual.json, and a restarted server reloads the
+    annotations as `existing` (so work is resumable)."""
+    import json
+    import threading
+    import urllib.request
+
+    from tests.synthetic_raw import make_raw_scene
+    from preprocess.scripts.manual_cameras import make_server
+
+    db = str(tmp_path / "db")
+    make_raw_scene(db, seqname="mc-0000", num_frames=6, res=48,
+                   write_masks=False, write_depth=False, write_flow=False)
+    srv = make_server("mc-0000", outdir=f"{db}/processed", port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://localhost:{port}"
+        meta = json.load(urllib.request.urlopen(f"{base}/meta"))
+        assert meta["seqname"] == "mc-0000" and meta["frames"]
+        mesh = json.load(urllib.request.urlopen(f"{base}/mesh"))
+        assert len(mesh["verts"]) > 4 and len(mesh["faces"]) > 4
+        page = urllib.request.urlopen(base).read().decode()
+        assert "meshcv" in page and "/save" in page
+        img = urllib.request.urlopen(f"{base}/frame/0").read()
+        assert img[:2] == b"\xff\xd8"  # JPEG magic
+        rt = [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 3.0], [0, 0, 0, 1]]
+        req = urllib.request.Request(
+            f"{base}/save", data=json.dumps({"0": rt}).encode(), method="POST"
+        )
+        assert json.load(urllib.request.urlopen(req))["ok"]
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    path = f"{db}/processed/Cameras/Full-Resolution/mc-0000/01-manual.json"
+    saved = json.load(open(path))
+    assert saved["0"][2][3] == 3.0
+    # restart: annotations come back as `existing`
+    srv2 = make_server("mc-0000", outdir=f"{db}/processed", port=0)
+    t2 = threading.Thread(target=srv2.serve_forever, daemon=True)
+    t2.start()
+    try:
+        meta2 = json.load(urllib.request.urlopen(
+            f"http://localhost:{srv2.server_address[1]}/meta"))
+        assert "0" in meta2["existing"]
+    finally:
+        srv2.shutdown()
+        srv2.server_close()
