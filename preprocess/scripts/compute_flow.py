@@ -14,8 +14,28 @@ import numpy as np
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "../..")))
 
 
-def compute_flow(seqname: str, outdir: str, dframe: int):
+def pick_flow_backend():
+    """Flow backend selection (mirrors the seg/depth/feat backends):
+    LAB4D_FLOW_BACKEND = auto (default) | raft | classical. `auto`
+    upgrades to the RAFT-lite net when its weights are cached locally."""
+    choice = os.environ.get("LAB4D_FLOW_BACKEND", "auto")
+    if choice != "classical":
+        from preprocess.backends import flow_raft
+
+        if flow_raft.available():
+            return "raft", flow_raft.compute_pair_flow
+        if choice == "raft":
+            raise FileNotFoundError(
+                f"LAB4D_FLOW_BACKEND=raft but no weights at "
+                f"{flow_raft.weights_path()}"
+            )
     from preprocess.backends.flow_jax import compute_pair_flow
+
+    return "classical", compute_pair_flow
+
+
+def compute_flow(seqname: str, outdir: str, dframe: int):
+    backend, compute_pair_flow = pick_flow_backend()
 
     img_paths = sorted(
         glob.glob(f"{outdir}/JPEGImages/Full-Resolution/{seqname}/*.jpg")
@@ -40,7 +60,7 @@ def compute_flow(seqname: str, outdir: str, dframe: int):
         name_j = os.path.basename(img_paths[i + dframe]).replace(".jpg", ".npy")
         np.save(f"{fw_dir}/{name_i}", fw.astype(np.float16))
         np.save(f"{bw_dir}/{name_j}", bw.astype(np.float16))
-    print(f"flow (delta={dframe}) done: {seqname}")
+    print(f"flow (delta={dframe}, backend={backend}) done: {seqname}")
 
 
 if __name__ == "__main__":
