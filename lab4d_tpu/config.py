@@ -77,6 +77,10 @@ class TrainOptConfig:
     flags.DEFINE_integer("num_workers", 2, "number of data-loading threads")
     flags.DEFINE_integer("eval_res", 64, "size used for eval visualizations")
     flags.DEFINE_integer("save_freq", 10, "params saving frequency")
+    flags.DEFINE_integer(
+        "geo_init_steps", 500,
+        "SDF-distillation steps for geometry init (nerf.py:251-295)",
+    )
     flags.DEFINE_boolean("profile", False, "profile the training loop")
     flags.DEFINE_boolean("use_cpu", False, "force the CPU backend (tests/smoke)")
     flags.DEFINE_string(

@@ -71,6 +71,7 @@ class OptConfig:
 @dataclass
 class EfficiencyConfig:
     ngpu: int = 1
+    geo_init_steps: int = 500
     video_shards: int = 1
     num_workers: int = 2
     eval_res: int = 64

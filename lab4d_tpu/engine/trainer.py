@@ -411,7 +411,9 @@ class Trainer:
 
         # 4. geometry distillation from proxy SDF
         self.params = params
-        pools = self._build_geometry_pools()
+        pools = self._build_geometry_pools(
+            num_steps=self.opts.get("geo_init_steps", 500)
+        )
         self.params = init_utils.fit_geometry(self.model, self.params, pools)
 
     def _build_geometry_pools(self, num_steps=500, nsample=256):

@@ -45,8 +45,11 @@ FieldCfg = collections.namedtuple(
     "freqs nf_base nf_color nf_vis nf_feat "
     "skips_base skips_color skips_vis skips_feat",
 )
-MAX_TILE = 2048
-MAX_TILE_BWD = 512
+# tile caps, env-overridable for on-hardware sweeps (docs/performance.md)
+import os as _os
+
+MAX_TILE = int(_os.environ.get("LAB4D_MAX_TILE", 2048))
+MAX_TILE_BWD = int(_os.environ.get("LAB4D_MAX_TILE_BWD", 512))
 
 
 # --------------------------------------------------------------- embedding

@@ -128,11 +128,21 @@ def main(steps=1500, res=128, out_path=None, batch=4, seed=0,
         upd, o = tx.update(g, o, p)
         return optax.apply_updates(p, upd), o, l
 
+    # pre-stage the dataset on device: per-step host->device uploads are
+    # ~1 s through the tunneled TPU, so generate a fixed pool of batches
+    # once and cycle (pool size caps memory; 96 batches x 4 pairs is
+    # plenty of diversity for a 580k-param net)
+    n_pool = min(96, max(steps, 1))
+    print(f"generating {n_pool} batches ...", flush=True)
+    pool = []
+    for _ in range(n_pool):
+        b = make_batch(rng, batch, res)
+        pool.append(tuple(jnp.asarray(x) for x in b))
+
     t0 = time.time()
     for it in range(steps):
-        i0, i1, gt, valid = make_batch(rng, batch, res)
-        params, opt, l = step(params, opt, jnp.asarray(i0), jnp.asarray(i1),
-                              jnp.asarray(gt), jnp.asarray(valid))
+        i0, i1, gt, valid = pool[it % n_pool]
+        params, opt, l = step(params, opt, i0, i1, gt, valid)
         if it % log_every == 0 or it == steps - 1:
             print(f"step {it}: loss={float(l):.3f} px "
                   f"({time.time() - t0:.0f}s)", flush=True)

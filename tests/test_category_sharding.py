@@ -60,6 +60,7 @@ def category_trainer(tmp_path_factory):
         video_shards=2,
         num_workers=1,
         save_freq=1,
+        geo_init_steps=50,
         database_root=f"{work}/database",
         logroot=f"{work}/logdir",
     )
@@ -105,6 +106,7 @@ class TestCategoryModelSharding:
             block = dataid[j * m:(j + 1) * m]
             assert np.all(block % 2 == j % 2), (j, block)
 
+    @pytest.mark.slow
     def test_one_training_round_keeps_sharding(self, category_trainer):
         t = category_trainer
         t.trainloader.start()

@@ -28,7 +28,8 @@ def small_trainer(tmp_path_factory):
         seqname="cksim", logname="ck", fg_motion="rigid", field_type="fg",
         train_res=64, eval_res=16, num_rounds=1, iters_per_round=2,
         imgs_per_gpu=2, pixels_per_image=4, ngpu=1, num_workers=1,
-        save_freq=1, database_root=f"{work}/database",
+        save_freq=1,
+        geo_init_steps=50, database_root=f"{work}/database",
         logroot=f"{work}/logdir",
     )
     t = Trainer(opts)

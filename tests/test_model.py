@@ -176,6 +176,7 @@ class TestForwardLoss:
             assert bool(jnp.isfinite(v).all()), f"eval output {k} not finite"
 
 
+@pytest.mark.slow
 def test_dsdf_chain_rule_matches_autodiff_normals():
     """compute_jacobian(dsdf=...) (megakernel fast path glue) must equal
     the reverse-mode compute_normal: J_warp^T grad_xyz sdf == grad_cam."""

@@ -45,7 +45,13 @@ def _loss_and_grads(model, batch, wrt_grads=True):
 
 
 @pytest.mark.parametrize(
-    "fg_motion", ["dense", "nvp", "skel-human", "comp_skel-quad_dense"]
+    "fg_motion",
+    [
+        "dense",  # the fast representative; the rest are slow-marked
+        pytest.param("nvp", marks=pytest.mark.slow),
+        pytest.param("skel-human", marks=pytest.mark.slow),
+        pytest.param("comp_skel-quad_dense", marks=pytest.mark.slow),
+    ],
 )
 def test_warp_variants_fg(fg_motion):
     model, batch = make_model_and_batch("fg", fg_motion)
@@ -56,6 +62,7 @@ def test_warp_variants_fg(fg_motion):
         assert float(ld["reg_soft_deform"]) >= 0
 
 
+@pytest.mark.slow
 def test_comp_field_type():
     """Total-Recon configuration: fg + bg composed along rays."""
     model, batch = make_model_and_batch("comp", "bob")
@@ -69,6 +76,7 @@ def test_bg_field_type():
     _loss_and_grads(model, batch, wrt_grads=False)
 
 
+@pytest.mark.slow
 def test_multi_instance_codes():
     """RAC-style: per-video morphology codes (--nosingle_inst)."""
     from lab4d_tpu.engine.model import DVRModel
