@@ -4,6 +4,8 @@ The reference uses ZoeDepth via torch.hub (reference:
 preprocess/scripts/depth.py:37-59).  Backends here:
 
   zoe       — ZoeDepth (ZoeD_NK) when torch.hub weights are available
+  unet      — trainable monocular depth U-Net (depth_unet.py) when
+              distilled weights are cached locally
   flowdisp  — default classical backend: motion-parallax proxy depth.
               For a (predominantly translating) camera, apparent pixel
               speed is inversely proportional to depth; we take the
@@ -87,10 +89,24 @@ def depth_video_const(frames: List[np.ndarray]) -> List[np.ndarray]:
     return [np.full(f.shape[:2], MEDIAN_DEPTH, np.float32) for f in frames]
 
 
-def extract_depth(seqname: str, outdir: str = "database/processed"):
-    from preprocess.backends import pick_backend
+def pick_depth_backend() -> str:
+    """Explicit env override, else best available:
+    zoe (hub cache) > unet (distilled local weights) > flowdisp."""
+    choice = os.environ.get("LAB4D_DEPTH_BACKEND", "auto")
+    if choice != "auto":
+        return choice
+    try:
+        if _probe_zoe():
+            return "zoe"
+    except Exception:
+        pass
+    from preprocess.backends import depth_unet
 
-    backend = pick_backend("LAB4D_DEPTH_BACKEND", "zoe", "flowdisp", _probe_zoe)
+    return "unet" if depth_unet.available() else "flowdisp"
+
+
+def extract_depth(seqname: str, outdir: str = "database/processed"):
+    backend = pick_depth_backend()
     img_paths = sorted(
         glob.glob(f"{outdir}/JPEGImages/Full-Resolution/{seqname}/*.jpg")
     )
@@ -99,6 +115,10 @@ def extract_depth(seqname: str, outdir: str = "database/processed"):
     frames = [cv2.imread(p)[..., ::-1] for p in img_paths]
     if backend == "zoe":
         depths = depth_video_zoe(frames)
+    elif backend == "unet":
+        from preprocess.backends.depth_unet import depth_video_unet
+
+        depths = depth_video_unet(frames)
     elif backend == "const":
         depths = depth_video_const(frames)
     else:

@@ -6,7 +6,9 @@ Rotation priors come from, in order of preference:
   1. manual annotations  Cameras/<seq>/01-manual.json  {frame: 4x4 list}
   2. a CSE-viewpoint plugin (reference uses DensePose-CSE; gated on the
      plugin being installed as `cse_viewpoint`)
-  3. none — the Procrustes chain alone, gauge-fixed at frame 0
+  3. the trainable viewpoint CNN (preprocess/backends/viewpoint_net.py)
+     when distilled weights are cached locally
+  4. none — the Procrustes chain alone, gauge-fixed at frame 0
 fused with the pairwise relative-rotation chain by the JAX optimizer in
 preprocess/libs/registration.py.  Translations use the bbox heuristic:
 depth = focal / sqrt(bbox area) (unit surface area), xy from the bbox
@@ -44,6 +46,11 @@ def _load_rotation_priors(seqname, outdir, obj_class, img_paths):
 
         rots = cse_viewpoint.predict_viewpoints(img_paths, obj_class)
         return {i: np.asarray(r, np.float32) for i, r in enumerate(rots)}
+    from preprocess.backends import viewpoint_net
+
+    if viewpoint_net.available(obj_class):
+        rots = viewpoint_net.predict_viewpoints(img_paths, obj_class)
+        return {i: np.asarray(r, np.float32) for i, r in rots.items()}
     return {}
 
 

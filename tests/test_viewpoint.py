@@ -1,0 +1,91 @@
+"""Viewpoint-net backend tests: 6D-rotation head validity, selection
+wiring in canonical registration, and (weights-gated) accuracy."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_rot6d_is_rotation():
+    import jax.numpy as jnp
+
+    from preprocess.backends.viewpoint_net import rot6d_to_matrix
+
+    rng = np.random.default_rng(0)
+    sixd = jnp.asarray(rng.standard_normal((8, 6)), jnp.float32)
+    R = np.asarray(rot6d_to_matrix(sixd))
+    eye = np.einsum("bij,bkj->bik", R, R)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (8, 1, 1)), atol=1e-5)
+    np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-5)
+
+
+def test_gen_sample_pose_consistency():
+    """The rendered crop's rotation label must match what an observer
+    sees: rotating the camera 180 deg about y flips the visible side of
+    the textured creature (different crops)."""
+    from scripts.train_viewpoint import gen_sample
+
+    rng = np.random.default_rng(1)
+    img0, R0 = gen_sample(rng)
+    img1, R1 = gen_sample(rng)
+    assert img0.shape == img1.shape == (96, 96, 3)
+    assert not np.allclose(img0, img1)
+    assert np.allclose(R0 @ R0.T, np.eye(3), atol=1e-5)
+
+
+def test_viewpoint_prior_selection(tmp_path, monkeypatch):
+    """Canonical registration uses the net's priors iff weights exist."""
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from preprocess.backends import viewpoint_net
+
+    monkeypatch.setenv("LAB4D_WEIGHTS_DIR", str(tmp_path))
+    viewpoint_net._load_params_cached.cache_clear()
+    assert not viewpoint_net.available("quad")
+
+    model = viewpoint_net.ViewpointNet()
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((96, 96, 3), jnp.float32)
+    )["params"]
+    with open(tmp_path / "viewpoint_net.msgpack", "wb") as f:
+        f.write(serialization.to_bytes(params))
+    viewpoint_net._load_params_cached.cache_clear()
+    assert viewpoint_net.available("quad")
+    # class-specific file takes precedence when present
+    with open(tmp_path / "viewpoint_quad.msgpack", "wb") as f:
+        f.write(serialization.to_bytes(params))
+    assert viewpoint_net.weights_path("quad").endswith("viewpoint_quad.msgpack")
+    viewpoint_net._load_params_cached.cache_clear()
+
+
+SHIPPED = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "database", "weights", "viewpoint_net.msgpack",
+)
+
+
+@pytest.mark.skipif(not os.path.exists(SHIPPED),
+                    reason="no shipped viewpoint weights")
+def test_shipped_viewpoint_accuracy():
+    """Distilled weights must beat chance (~126 deg) by a wide margin."""
+    from preprocess.backends.viewpoint_net import ViewpointNet, load_params
+    from scripts.train_viewpoint import gen_sample, geodesic_deg
+
+    import jax
+    import jax.numpy as jnp
+
+    params = load_params(path=SHIPPED)
+    model = ViewpointNet()
+    run = jax.jit(lambda x: model.apply({"params": params}, x))
+    rng = np.random.default_rng(55)
+    errs = [
+        geodesic_deg(run(jnp.asarray(img)), R)
+        for img, R in (gen_sample(rng) for _ in range(16))
+    ]
+    assert np.median(errs) < 60, f"median geodesic err {np.median(errs)} deg"
