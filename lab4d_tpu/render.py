@@ -173,11 +173,23 @@ def render_batch(model, params, batch, geo_state, categories, chunk=1024):
         )
 
     @jax.jit
-    def render_rays(params, samples):
-        return model.apply(
-            {"params": params}, samples, sched=None,
-            method=model.evaluate_rays,
-        )
+    def render_frame(params, samples, hxy_chunks):
+        """All chunks of one frame in ONE dispatch: the per-chunk Python
+        loop costs ~4.5 ms/call through a tunneled TPU (dispatch floor),
+        which dominates at 512^2 (256 chunks). lax.map keeps activations
+        chunk-sized (a whole 256^2 deformable frame in one call needs
+        >16 GB of HBM), while XLA sees a single program per frame."""
+
+        def body(hxy_c):
+            samples_c = {
+                cate: {**samples[cate], "hxy": hxy_c} for cate in samples
+            }
+            return model.apply(
+                {"params": params}, samples_c, sched=None,
+                method=model.evaluate_rays,
+            )
+
+        return jax.lax.map(body, hxy_chunks)
 
     n_frames = len(batch["frameid_sub"])
     rendered_all = {}
@@ -193,24 +205,25 @@ def render_batch(model, params, batch, geo_state, categories, chunk=1024):
         npix = sub["hxy"].shape[1]
         csize = min(chunk, npix)
         pad = (-npix) % csize
-        hxy_all = sub["hxy"]
+        hxy_all = np.asarray(sub["hxy"])  # pad on host, not on device
         if pad:
-            hxy_all = jnp.concatenate(
-                [hxy_all, jnp.tile(hxy_all[:, -1:], (1, pad, 1))], axis=1
+            hxy_all = np.concatenate(
+                [hxy_all, np.tile(hxy_all[:, -1:], (1, pad, 1))], axis=1
             )
+        n_chunks = (npix + pad) // csize
+        hxy_chunks = hxy_all.reshape(1, n_chunks, csize, 3).transpose(
+            1, 0, 2, 3
+        )
         samples = prep_one(params, sub)  # per-frame cameras/FK, once
-        chunks = []
-        for c in range(0, npix + pad, csize):
-            samples_c = {
-                cate: {**samples[cate], "hxy": hxy_all[:, c : c + csize]}
-                for cate in samples
-            }
-            chunks.append(render_rays(params, samples_c))
-        chunks = jax.device_get(chunks)  # ONE transfer for all chunks/keys
+        chunks = jax.device_get(
+            render_frame(params, samples, jnp.asarray(hxy_chunks))
+        )  # ONE dispatch + ONE transfer for all chunks/keys
         out = {
-            k: np.concatenate([ch[k] for ch in chunks], axis=1)[:, :npix]
-            for k in chunks[0]
-            if chunks[0][k].ndim >= 3
+            k: v.transpose(1, 0, 2, *range(3, v.ndim)).reshape(
+                1, n_chunks * csize, *v.shape[3:]
+            )[:, :npix]
+            for k, v in chunks.items()
+            if v.ndim >= 4
         }
         res = int(np.sqrt(npix))
         for k, v in out.items():
