@@ -197,6 +197,10 @@ class FeatureNeRF(NeRF):
                 aux_dict["xy_reproj"] = xy_reproj
         return feat_dict, deltas, aux_dict
 
+    def eval_extra_heads(self, xyz):
+        """Canonical feature channel for the merged two-pass eval path."""
+        return self.compute_feat(xyz, fused=False)
+
     def compute_feat(self, xyz, fused=None):
         """Normalized canonical feature at points (feature.py:136-150)."""
         spec = self.feat_pos_embedding.pe_spec(None)

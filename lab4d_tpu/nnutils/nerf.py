@@ -53,6 +53,15 @@ def flip_pair(x):
     return x.reshape((x.shape[0] // 2, 2) + x.shape[1:])[:, ::-1].reshape(x.shape)
 
 
+def _eval_merged_enabled() -> bool:
+    """The merged two-pass eval path (query_field_eval) is exact vs the
+    resample-and-reevaluate path and ~30% cheaper; LAB4D_EVAL_MERGED=0
+    falls back for A/B measurement (docs/performance.md)."""
+    import os
+
+    return os.environ.get("LAB4D_EVAL_MERGED", "1") == "1"
+
+
 class NeRF(nn.Module):
     """A static SDF + appearance field with camera/visibility submodules."""
 
@@ -231,6 +240,8 @@ class NeRF(nn.Module):
     def query_field(self, samples_dict, sched=None, train=True, flow_thresh=None):
         """Full per-ray pipeline: sample -> backward warp -> field eval ->
         flow/cycle/eikonal (nerf.py:580-684)."""
+        if not train and _eval_merged_enabled():
+            return self.query_field_eval(samples_dict, sched=sched)
         Kinv = samples_dict["Kinv"]
         field2cam = samples_dict["field2cam"]
         frame_id = samples_dict["frame_id"]
@@ -312,6 +323,147 @@ class NeRF(nn.Module):
 
         aux_dict = {}
         return feat_dict, deltas, aux_dict
+
+    # ------------------------------------------------- merged two-pass eval
+
+    def eval_extra_heads(self, xyz):
+        """Per-sample channels subclasses add at eval (FeatureNeRF: the
+        canonical feature head)."""
+        return {}
+
+    def eval_pass(
+        self, xyz_cam, dir_cam, field2cam, frame_id, inst_id, samples_dict,
+        sched=None,
+    ):
+        """Evaluate ALL per-sample eval channels (heads + camera-space
+        normals) at the given camera points, in one warp+MLP primal.
+
+        The SDF gradient comes from a vjp around warp+basefield whose
+        primal is shared (by CSE) with the head evaluation — no separate
+        normal pass re-running the field (nerf.py:455-493)."""
+
+        def warp_sdf(pts_cam):
+            bw = self.backward_warp(
+                pts_cam, dir_cam, field2cam, frame_id, inst_id,
+                samples_dict=samples_dict,
+            )
+            sdf = self.forward(
+                bw["xyz"], inst_id=inst_id, get_density=False, sched=sched,
+                fused=False,
+            )
+            return sdf, bw
+
+        sdf, sdf_vjp, backwarp_dict = jax.vjp(
+            warp_sdf, xyz_cam, has_aux=True
+        )
+        g = sdf_vjp(jnp.ones_like(sdf))[0]
+        from lab4d_tpu.utils.geom import safe_norm
+
+        gnorm = safe_norm(g)
+        eikonal = (gnorm - 1.0) ** 2
+        normal = g / jnp.maximum(gnorm, 1e-6)
+        normal = normal * jnp.asarray([1.0, -1.0, -1.0])  # ECON convention
+
+        xyz = backwarp_dict["xyz"]
+        dir = backwarp_dict["dir"]
+        xyz_t = backwarp_dict["xyz_t"]
+
+        out = self.query_nerf(
+            xyz, dir, frame_id, inst_id, sched, train=False, fused=False
+        )
+        out["vis"] = self.vis_mlp(xyz, inst_id=inst_id, fused=False)
+        out.update(self.eval_extra_heads(xyz))
+
+        # unmasked density drives the importance pdf (parity with
+        # importance_sampling's coarse pass, which never masked)
+        out["density_raw"] = out["density"]
+        valid = self.get_valid_mask(xyz, xyz_t, samples_dict)
+        if valid is not None:
+            for k in ("density", f"density_{self.category}"):
+                out[k] = out[k] * valid[..., None]
+
+        cyc_dict = self.cycle_loss(
+            xyz, xyz_t, frame_id, inst_id, samples_dict=samples_dict,
+            train=False,
+        )
+        for k in cyc_dict:
+            if k in backwarp_dict:
+                out[k] = (cyc_dict[k] + backwarp_dict[k]) / 2
+            else:
+                out[k] = cyc_dict[k]
+
+        out["eikonal"] = eikonal
+        out["normal"] = normal
+        out["xyz"] = xyz
+        out["xyz_cam"] = xyz_cam
+        return out
+
+    def query_field_eval(self, samples_dict, sched=None, n_depth: int = 64):
+        """Two-pass importance rendering without recomputation: each pass
+        evaluates every per-sample channel at its own half of the samples
+        and the halves are merged by depth sort. Mathematically identical
+        to importance_sampling + a full second evaluation (the union
+        points are the same), but the coarse warp+basefield work is never
+        thrown away — it was previously re-run inside the fine pass
+        (nerf.py:686-738)."""
+        Kinv = samples_dict["Kinv"]
+        field2cam = samples_dict["field2cam"]
+        frame_id = samples_dict["frame_id"]
+        inst_id = samples_dict["inst_id"]
+        near_far = samples_dict["near_far"]
+        hxy = samples_dict["hxy"]
+        half = n_depth // 2
+
+        xyz_cam1, dir_cam1, deltas1, depth1 = sample_cam_rays(
+            hxy, Kinv, near_far, perturb=False, n_depth=half
+        )
+        out1 = self.eval_pass(
+            xyz_cam1, dir_cam1, field2cam, frame_id, inst_id, samples_dict,
+            sched,
+        )
+
+        weights, _ = compute_weights(out1.pop("density_raw"), deltas1)
+        depth_mid = 0.5 * (depth1[:, :, :-1] + depth1[:, :, 1:])
+        R = depth1.shape[0] * depth1.shape[1]
+        depth_fine = sample_pdf(
+            depth_mid.reshape(R, half - 1),
+            weights.reshape(R, half)[:, 1:-1],
+            half,
+            det=True,
+        )
+        depth_fine = jax.lax.stop_gradient(depth_fine).reshape(depth1.shape)
+
+        xyz_cam2, dir_cam2, _, depth2 = sample_cam_rays(
+            hxy, Kinv, near_far, depth=depth_fine, perturb=False
+        )
+        out2 = self.eval_pass(
+            xyz_cam2, dir_cam2, field2cam, frame_id, inst_id, samples_dict,
+            sched,
+        )
+        out2.pop("density_raw")
+
+        # merge the halves by depth order
+        depth_all = jnp.concatenate([depth1, depth2], axis=2)  # (M,N,D,1)
+        order = jnp.argsort(depth_all[..., 0], axis=-1)
+        idx = order[..., None]
+
+        feat_dict = {
+            k: jnp.take_along_axis(
+                jnp.concatenate([out1[k], out2[k]], axis=2), idx, axis=2
+            )
+            for k in out1
+        }
+        depth_s = jnp.take_along_axis(depth_all, idx, axis=2)
+
+        # deltas of the sorted union (sample_cam_rays convention)
+        raydir = jnp.einsum("mni,mji->mnj", hxy, Kinv)
+        dir_norm = jnp.linalg.norm(raydir, axis=-1, keepdims=True)
+        deltas = depth_s[:, :, 1:] - depth_s[:, :, :-1]
+        deltas = jnp.concatenate([deltas, deltas[:, :, -1:]], axis=2)
+        deltas = deltas * dir_norm[:, :, None, :]
+
+        feat_dict["depth"] = depth_s / jnp.exp(self.logscale)  # world units
+        return feat_dict, deltas, {}
 
     def get_valid_mask(self, xyz, xyz_t, samples_dict):
         """(M,N,D) float mask of samples inside the extended canonical aabb;
