@@ -5,9 +5,9 @@ that runs everywhere (JAX/classical, no external weights) and optional
 neural backends that activate when their dependencies + weights are
 available.  Selection via env vars:
 
-  LAB4D_DEPTH_BACKEND   = zoe | flowdisp | const      (default: auto)
-  LAB4D_SEG_BACKEND     = external | grabcut | full   (default: auto)
-  LAB4D_FEAT_BACKEND    = dinov2 | filterbank         (default: auto)
+  LAB4D_DEPTH_BACKEND   = zoe | unet | flowdisp | const      (default: auto)
+  LAB4D_SEG_BACKEND     = external | unet | grabcut | full   (default: auto)
+  LAB4D_FEAT_BACKEND    = dinov2 | filterbank                (default: auto)
 
 "auto" picks the neural backend if importable, else the classical one.
 """

@@ -5,6 +5,9 @@ GUI (reference: scripts/run_preprocess.py:25-44).  Here:
 
   external  — a Track-Anything-compatible CLI if installed (probed via
               import of `track_anything_cli`)
+  unet      — trainable video segmentation U-Net with a previous-mask
+              conditioning channel (seg_unet.py); auto-selected when
+              distilled weights exist in the local cache
   grabcut   — default classical backend: motion-residual seeding
               (dominant-affine background flow model) + cv2.grabCut color
               refinement, propagated frame-to-frame through the flow
@@ -144,13 +147,28 @@ def _probe_external() -> bool:
     return importlib.util.find_spec("track_anything_cli") is not None
 
 
+def pick_seg_backend() -> str:
+    """Explicit env override, else best available:
+    external (Track-Anything CLI) > unet (distilled local weights) >
+    grabcut."""
+    choice = os.environ.get("LAB4D_SEG_BACKEND", "auto")
+    if choice != "auto":
+        return choice
+    try:
+        if _probe_external():
+            return "external"
+    except Exception:
+        pass
+    from preprocess.backends import seg_unet
+
+    return "unet" if seg_unet.available() else "grabcut"
+
+
 def run_segmentation(seqname: str, outdir: str, text_prompt: str = ""):
     """Write Annotations/<seq>/%05d.npy masks using the selected backend."""
     import glob as _glob
 
-    from preprocess.backends import pick_backend
-
-    backend = pick_backend("LAB4D_SEG_BACKEND", "external", "grabcut", _probe_external)
+    backend = pick_seg_backend()
     img_paths = sorted(
         _glob.glob(f"{outdir}/JPEGImages/Full-Resolution/{seqname}/*.jpg")
     )
@@ -168,6 +186,10 @@ def run_segmentation(seqname: str, outdir: str, text_prompt: str = ""):
     frames = [cv2.imread(p)[..., ::-1] for p in img_paths]
     if backend == "full":
         masks = segment_video_full(frames)
+    elif backend == "unet":
+        from preprocess.backends.seg_unet import segment_video_unet
+
+        masks = segment_video_unet(frames)
     else:
         masks = segment_video_grabcut(frames)
     for p, m in zip(img_paths, masks):
