@@ -55,11 +55,15 @@ def flip_pair(x):
 
 def _eval_merged_enabled() -> bool:
     """The merged two-pass eval path (query_field_eval) is exact vs the
-    resample-and-reevaluate path and ~30% cheaper; LAB4D_EVAL_MERGED=0
-    falls back for A/B measurement (docs/performance.md)."""
+    resample-and-reevaluate path but measured ~2x SLOWER on v5e (604 vs
+    329 ms/frame @256^2 skel-quad, chunk 1024): running the full
+    channel set (incl. reverse-mode normals through warp+MLP) per half
+    costs more than the coarse-pass recompute it avoids. Kept OFF as a
+    parity oracle; LAB4D_EVAL_MERGED=1 re-enables for A/B
+    (docs/performance.md)."""
     import os
 
-    return os.environ.get("LAB4D_EVAL_MERGED", "1") == "1"
+    return os.environ.get("LAB4D_EVAL_MERGED", "0") == "1"
 
 
 class NeRF(nn.Module):
