@@ -26,6 +26,21 @@ def _fused_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _mlp_bf16_enabled() -> bool:
+    """LAB4D_MLP_BF16=1 runs the jnp MLP chains with bf16 activations and
+    weights (f32 accumulation). Hypothesis was that the unfused eval
+    graph is HBM-traffic-bound so halving activation bytes should win;
+    MEASURED on v5e (merged two-pass eval, skel-quad): 245.7 ms/frame
+    bf16 vs 235.6 f32 @256^2, 876 vs 845 @512^2 — a small LOSS (the
+    casts cost more than the saved bytes; XLA already fuses most
+    elementwise consumers into the matmuls). Default stays f32/OFF.
+    Coordinates and Fourier ANGLES stay f32 either way (bf16's ~3
+    decimal digits would wreck sin(2^11 x) phases); only the bounded
+    sin/cos features and layer activations are cast
+    (docs/performance.md)."""
+    return os.environ.get("LAB4D_MLP_BF16", "0") == "1"
+
+
 class ScaleLayer(nn.Module):
     """Multiply by a fixed scale (base.py:8-14) — used to damp warp MLP
     outputs (e.g. DenseWarp translations x0.1)."""
@@ -168,18 +183,33 @@ class BaseMLP(nn.Module):
         def row_add(i, h):
             if i not in row_adds:
                 return h
-            u = row_adds[i]
+            u = row_adds[i].astype(h.dtype)
             return h + u.reshape(u.shape[:1] + (1,) * (h.ndim - 2) + u.shape[-1:])
+
+        out_dtype = x.dtype
+        if _mlp_bf16_enabled():
+            # embedded features are bounded (sin/cos in [-1,1]) -> safe to
+            # cast; the MXU still accumulates f32 internally for bf16
+            # operands, only the stored activations shrink
+            x = x.astype(jnp.bfloat16)
+            weights = [w.astype(jnp.bfloat16) for w in weights]
+            biases = [b.astype(jnp.bfloat16) for b in biases]
+
+        def matmul(h, w):
+            return jax.lax.dot_general(
+                h, w, (((h.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=h.dtype,
+            )
 
         out = x
         for i in range(self.D):
             if i in self.skips:
                 out = jnp.concatenate([x, out], axis=-1)
-            out = nn.relu(row_add(i, out @ weights[i]) + biases[i])
-        out = row_add(self.D, out @ weights[-1]) + biases[-1]
+            out = nn.relu(row_add(i, matmul(out, weights[i])) + biases[i])
+        out = row_add(self.D, matmul(out, weights[-1])) + biases[-1]
         if self.final_act:
             out = nn.relu(out)
-        return out
+        return out.astype(out_dtype)
 
 
 class CondMLP(nn.Module):

@@ -54,16 +54,18 @@ def flip_pair(x):
 
 
 def _eval_merged_enabled() -> bool:
-    """The merged two-pass eval path (query_field_eval) is exact vs the
-    resample-and-reevaluate path but measured ~2x SLOWER on v5e (604 vs
-    329 ms/frame @256^2 skel-quad, chunk 1024): running the full
-    channel set (incl. reverse-mode normals through warp+MLP) per half
-    costs more than the coarse-pass recompute it avoids. Kept OFF as a
-    parity oracle; LAB4D_EVAL_MERGED=1 re-enables for A/B
-    (docs/performance.md)."""
+    """The merged two-pass eval path (query_field_eval) shares one primal
+    evaluation between the coarse and importance passes and merges the
+    halves by depth sort. With the sort applied as a one-hot permutation
+    MATMUL it is the fastest eval path measured on v5e: 236 ms/frame
+    @256^2 skel-quad chunk 1024 vs 329 ms for resample-and-reevaluate.
+    (The original take_along_axis merge was 604 ms — a batched gather
+    over ~35 channels lowers to serial dynamic-slices on TPU; see
+    query_field_eval.) Default ON; LAB4D_EVAL_MERGED=0 restores the
+    two-evaluation path for A/B (docs/performance.md)."""
     import os
 
-    return os.environ.get("LAB4D_EVAL_MERGED", "0") == "1"
+    return os.environ.get("LAB4D_EVAL_MERGED", "1") == "1"
 
 
 class NeRF(nn.Module):
@@ -446,18 +448,30 @@ class NeRF(nn.Module):
         )
         out2.pop("density_raw")
 
-        # merge the halves by depth order
+        # merge the halves by depth order. The permutation is applied as a
+        # one-hot matmul over ALL channels at once (a per-ray (D, D)
+        # permutation matrix on the MXU) instead of take_along_axis: a
+        # batched gather over ~35 (M,N,D,C) channels lowers to serial
+        # dynamic-slices on TPU, the matmul form is one fused contraction.
         depth_all = jnp.concatenate([depth1, depth2], axis=2)  # (M,N,D,1)
-        order = jnp.argsort(depth_all[..., 0], axis=-1)
-        idx = order[..., None]
+        order = jnp.argsort(depth_all[..., 0], axis=-1)  # (M,N,D)
+        D = depth_all.shape[2]
+        perm = jax.nn.one_hot(order, D, dtype=depth_all.dtype)  # (M,N,D,D)
 
-        feat_dict = {
-            k: jnp.take_along_axis(
-                jnp.concatenate([out1[k], out2[k]], axis=2), idx, axis=2
-            )
-            for k in out1
-        }
-        depth_s = jnp.take_along_axis(depth_all, idx, axis=2)
+        keys = list(out1.keys())
+        widths = [out1[k].shape[-1] for k in keys]
+        packed = jnp.concatenate(
+            [jnp.concatenate([out1[k], out2[k]], axis=2) for k in keys]
+            + [depth_all],
+            axis=-1,
+        )  # (M,N,D,sumC+1)
+        packed_s = jnp.einsum("mnds,mnsc->mndc", perm, packed)
+        feat_dict = {}
+        off = 0
+        for k, w in zip(keys, widths):
+            feat_dict[k] = packed_s[..., off : off + w]
+            off += w
+        depth_s = packed_s[..., off:]
 
         # deltas of the sorted union (sample_cam_rays convention)
         raydir = jnp.einsum("mni,mji->mnj", hxy, Kinv)
