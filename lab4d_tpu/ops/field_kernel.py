@@ -35,7 +35,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lab4d_tpu.ops.mlp_kernel import _dot, _fold_sum_blocks, _interpret
+from lab4d_tpu.ops.mlp_kernel import (
+    _dot,
+    _dot_nt,
+    _dot_tn,
+    _fold_sum_blocks,
+    _interpret,
+)
 
 OUT_DIMS = (1, 3, 1, 16)  # density, rgb, vis, feat
 
@@ -128,9 +134,9 @@ def _mlp_bwd(g, x, out, inputs, wb, skips, final_act):
     for i in reversed(range(n)):
         if i < n - 1:
             g = g * (relu_out(i) > 0.0)
-        grads[2 * i] = _dot(inputs[i].T, g)
+        grads[2 * i] = _dot_tn(inputs[i], g)
         grads[2 * i + 1] = jnp.sum(g, axis=0, keepdims=True)
-        g = _dot(g, wb[2 * i].T)
+        g = _dot_nt(g, wb[2 * i])
         if i in skips:
             dX = dX + g[:, : x.shape[1]]
             g = g[:, x.shape[1]:]
@@ -221,11 +227,11 @@ def _backward_tile(g, x, cache, nets, cfg, win_b, win_c, has_dir, has_appr, fcol
     g_f16 = (g_f16n - f16n * jnp.sum(f16n * g_f16n, -1, keepdims=True)) / denom
 
     # rgb head backward
-    d_rgb_h = _dot(g_rgb, nets["rgb2"][0].T)
-    g_rgb2 = [_dot(cache["rgb_h"].T, g_rgb), jnp.sum(g_rgb, 0, keepdims=True)]
+    d_rgb_h = _dot_nt(g_rgb, nets["rgb2"][0])
+    g_rgb2 = [_dot_tn(cache["rgb_h"], g_rgb), jnp.sum(g_rgb, 0, keepdims=True)]
     d_rgb_h = d_rgb_h * (cache["rgb_h"] > 0.0)
-    d_rgb_in = _dot(d_rgb_h, nets["rgb1"][0].T)
-    g_rgb1 = [_dot(cache["rgb_in"].T, d_rgb_h),
+    d_rgb_in = _dot_nt(d_rgb_h, nets["rgb1"][0])
+    g_rgb1 = [_dot_tn(cache["rgb_in"], d_rgb_h),
               jnp.sum(d_rgb_h, 0, keepdims=True)]
 
     W = cache["feat"].shape[-1]
@@ -241,8 +247,8 @@ def _backward_tile(g, x, cache, nets, cfg, win_b, win_c, has_dir, has_appr, fcol
         dappr = jnp.sum(d_rgb_in[:, off:], axis=0, keepdims=True)
 
     # sdf head backward
-    d_feat = _dot(g_sdf, nets["sdf"][0].T) + d_hc
-    g_sdfh = [_dot(cache["feat"].T, g_sdf), jnp.sum(g_sdf, 0, keepdims=True)]
+    d_feat = _dot_nt(g_sdf, nets["sdf"][0]) + d_hc
+    g_sdfh = [_dot_tn(cache["feat"], g_sdf), jnp.sum(g_sdf, 0, keepdims=True)]
 
     dXb, g_base = _mlp_bwd(
         d_feat, cache["Xb"], cache["feat"], cache["in_b"], nets["base"],

@@ -38,11 +38,56 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+_KERNEL_BF16 = __import__("os").environ.get("LAB4D_KERNEL_BF16", "0") == "1"
+
+
 def _dot(a, b):
-    """MXU matmul with f32 accumulation. Measured: the kernel is VMEM-IO
-    bound at these widths (W=128..256), so bf16 inputs don't change its
-    runtime — keep f32 for exactness against the jnp oracle."""
+    """MXU matmul with f32 accumulation.
+
+    LAB4D_KERNEL_BF16=1 feeds the MXU bf16 operands (f32 accumulation
+    stays). Measured on v5e (262k-point field megakernel, skel-quad
+    dims): fwd 5.51 ms f32 vs 5.07 ms bf16, fwd+bwd 9.71 vs 9.98 —
+    i.e. NO win; the kernel is VMEM-IO/pipeline bound at these widths
+    (W=128..256), not MXU-pass bound, and the in-kernel astype adds VPU
+    work. Default stays f32 (exact vs the jnp oracle); the gate remains
+    for re-measurement if widths grow (docs/performance.md)."""
+    if _KERNEL_BF16:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+_DG_BWD = __import__("os").environ.get("LAB4D_DG_BWD", "1") == "1"
+
+
+def _dot_tn(a, b):
+    """a.T @ b without materializing the transpose: dot_general
+    contracting over rows of BOTH operands. Inside a pallas kernel an
+    explicit (T, C).T is a real sublane/lane relayout on TPU; the
+    dimension-number form lets Mosaic feed the MXU directly. Used for
+    weight grads dW = acts.T @ g. LAB4D_DG_BWD=0 restores the explicit
+    transpose for A/B."""
+    if not _DG_BWD:
+        return _dot(a.T, b)
+    if _KERNEL_BF16:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _dot_nt(a, b):
+    """a @ b.T without materializing the transpose (contract over the
+    last dim of both operands). Used for input grads dX = g @ W.T."""
+    if not _DG_BWD:
+        return _dot(a, b.T)
+    if _KERNEL_BF16:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
 
 
 def _pad_rows(x, tile):
@@ -163,9 +208,9 @@ def _bwd_kernel(
         inp = layer_inputs[i]
         if i < n_layers - 1:
             g = g * (relu_out(i) > 0.0)
-        dw_refs[i][:] += _dot(inp.T, g)
+        dw_refs[i][:] += _dot_tn(inp, g)
         db_refs[i][:] += jnp.sum(g, axis=0, keepdims=True)
-        g = _dot(g, w_refs[i][:].T)
+        g = _dot_nt(g, w_refs[i][:])
         if i in skip_idx:
             dx_acc = dx_acc + g[:, : x.shape[1]]
             g = g[:, x.shape[1]:]
@@ -396,9 +441,9 @@ def _pe_bwd_kernel(x_ref, g_ref, freq_ref, *refs,
         inp = layer_inputs[i]
         if i < n_layers - 1:
             g = g * (relu_out(i) > 0.0)
-        dw_refs[i][:] += _dot(inp.T, g)
+        dw_refs[i][:] += _dot_tn(inp, g)
         db_refs[i][:] += jnp.sum(g, axis=0, keepdims=True)
-        g = _dot(g, w_refs[i][:].T)
+        g = _dot_nt(g, w_refs[i][:])
         if i in skip_idx:
             dX = dX + g[:, : x.shape[1]]
             g = g[:, x.shape[1]:]
