@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Dict, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -130,13 +131,27 @@ class MultiFields(nn.Module):
         deltas = jnp.concatenate([deltas_dict[c] for c in cates], axis=2)
 
         if len(cates) > 1:
-            z_idx = jnp.argsort(field_dict["depth"], axis=2)  # (M,N,D,1)
-            for k, v in field_dict.items():
-                idx = jnp.broadcast_to(z_idx, v.shape)
-                field_dict[k] = jnp.take_along_axis(v, idx, axis=2)
-            deltas = jnp.take_along_axis(
-                deltas, jnp.broadcast_to(z_idx, deltas.shape), axis=2
+            # apply the sort as a per-ray one-hot permutation MATMUL over
+            # every channel packed into one (M,N,D,sumC) tensor: a batched
+            # take_along_axis over ~35 channels lowers to serial
+            # dynamic-slices on TPU (measured 2.5x slower in the analogous
+            # eval merge, nerf.py query_field_eval); the matmul form is
+            # one fused MXU contraction.
+            order = jnp.argsort(field_dict["depth"][..., 0], axis=-1)
+            D = order.shape[-1]
+            perm = jax.nn.one_hot(order, D, dtype=deltas.dtype)  # (M,N,D,D)
+
+            keys = list(field_dict.keys())
+            widths = [field_dict[k].shape[-1] for k in keys]
+            packed = jnp.concatenate(
+                [field_dict[k] for k in keys] + [deltas], axis=-1
             )
+            packed = jnp.einsum("mnds,mnsc->mndc", perm, packed)
+            off = 0
+            for k, w in zip(keys, widths):
+                field_dict[k] = packed[..., off : off + w]
+                off += w
+            deltas = packed[..., off:]
         return field_dict, deltas
 
     # ------------------------------------------------------------- reg terms
