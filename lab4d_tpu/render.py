@@ -151,9 +151,10 @@ def render_batch(model, params, batch, geo_state, categories, chunk=1024):
     256^2 deformable frame in one call needs >16 GB of HBM activations
     (skinning + two-pass sampling at 64 samples/ray), so rays are
     streamed through one fixed-shape compiled program; mask-blended.
-    chunk=1024 measured fastest on v5e (307 ms/frame @256^2 skel-quad,
-    213k rays/s — smaller chunks relieve HBM pressure from the
-    normal-gradient pass; sweep: 1024=308, 2048=331, 4096=353 ms)."""
+    chunk=1024 measured fastest on v5e with the merged two-pass eval
+    (skel-quad): @256^2 1024=236, 2048=243 ms/frame; @512^2 1024=845,
+    2048=877, 4096=959 ms — smaller chunks relieve HBM pressure from
+    the normal-gradient pass."""
     import jax
     import jax.numpy as jnp
 
