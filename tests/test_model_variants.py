@@ -104,3 +104,45 @@ def test_multi_instance_codes():
     batch["dataid"] = jnp.asarray(np.array([[0, 0], [1, 1]], np.int32))
     ld = _loss_and_grads(model, batch)
     assert "rgb" in ld
+
+
+def test_compose_fields_matches_gather_reference():
+    """The one-hot permutation-matmul depth compose must be bitwise-close
+    to the take_along_axis formulation it replaced (which lowered to
+    serial dynamic-slices on TPU; see MultiFields.compose_fields)."""
+    from lab4d_tpu.nnutils.multifields import MultiFields
+
+    rng = np.random.default_rng(0)
+    M, N, D = 2, 8, 16
+
+    def mk(C):
+        return jnp.asarray(rng.standard_normal((M, N, D, C)).astype(np.float32))
+
+    fields = {
+        "fg": {"depth": mk(1), "rgb": mk(3), "feat": mk(16)},
+        "bg": {"depth": mk(1) + 0.5, "rgb": mk(3)},  # feat missing on bg
+    }
+    deltas = {"fg": mk(1) ** 2, "bg": mk(1) ** 2}
+
+    out, out_deltas = MultiFields.compose_fields(fields, deltas)
+
+    # gather reference
+    cat = {
+        k: jnp.concatenate(
+            [fields[c].get(k, jnp.zeros((M, N, D, v.shape[-1])))
+             for c in ("fg", "bg")],
+            axis=2,
+        )
+        for k, v in fields["fg"].items()
+    }
+    deltas_cat = jnp.concatenate([deltas["fg"], deltas["bg"]], axis=2)
+    z_idx = jnp.argsort(cat["depth"], axis=2)
+    for k, v in cat.items():
+        ref = jnp.take_along_axis(v, jnp.broadcast_to(z_idx, v.shape), axis=2)
+        np.testing.assert_allclose(out[k], ref, rtol=1e-6, atol=1e-6)
+    ref_d = jnp.take_along_axis(
+        deltas_cat, jnp.broadcast_to(z_idx, deltas_cat.shape), axis=2
+    )
+    np.testing.assert_allclose(out_deltas, ref_d, rtol=1e-6, atol=1e-6)
+    # sorted depth must be nondecreasing
+    assert np.all(np.diff(np.asarray(out["depth"][..., 0]), axis=-1) >= 0)
