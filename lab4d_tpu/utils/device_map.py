@@ -13,13 +13,32 @@ import os
 from typing import Callable, List, Optional, Sequence, Tuple
 
 
-def _detect_devices() -> List[int]:
+def _device_probe(q):
     try:
         import jax
 
-        return list(range(len(jax.devices())))
+        q.put(len(jax.devices()))
     except Exception:
+        q.put(1)
+
+
+def _detect_devices(timeout_s: float = 30.0) -> List[int]:
+    """Count accelerator devices WITHOUT risking a hang: jax.devices()
+    blocks indefinitely when the accelerator plugin's backend service is
+    down (observed with a tunneled TPU), so probe in a disposable child
+    process with a hard timeout and fall back to one worker."""
+    if os.environ.get("LAB4D_DEVICES"):
+        return list(range(int(os.environ["LAB4D_DEVICES"])))
+    ctx = multiprocessing.get_context("spawn")
+    q = ctx.Queue()
+    p = ctx.Process(target=_device_probe, args=(q,), daemon=True)
+    p.start()
+    p.join(timeout_s)
+    if p.is_alive() or q.empty():
+        if p.is_alive():
+            p.terminate()
         return [0]
+    return list(range(q.get()))
 
 
 def _static_worker(func, args, rank, result_queue):
