@@ -78,89 +78,91 @@ def extract_deformation(model, params, cate, mesh_rest, inst_id, frame_ids,
     from lab4d_tpu.utils.quat import quaternion_translation_to_se3
     from lab4d_tpu.utils.vis import draw_skeleton_bones
 
+    import jax
+
+    from lab4d_tpu.utils.quat import dual_quaternion_to_quaternion_translation
+
     has_skinning = cate == "fg" and fg_motion not in ("rigid", "dense")
     has_skel = has_skinning and ("skel" in fg_motion or "comp" in fg_motion)
     xyz = jnp.asarray(mesh_rest.vertices, jnp.float32)
     inst = jnp.asarray([inst_id], jnp.int32)
 
-    motion_tuples = {}
-    for frame_id in frame_ids:
-        fid = jnp.asarray([frame_id], jnp.int32)
-        field2cam = _field_apply(
-            model, params,
-            lambda m, f: m.fields.field_params[cate].camera_mlp.get_vals(f),
-            fid,
-        )
+    def frame_fn(m, fid):
+        """Every per-frame motion quantity in ONE traced call. The old
+        per-frame eager apply launched hundreds of tiny ops per frame —
+        per-op dispatch is pathological on a remote accelerator; this
+        compiles once and dispatches once per frame."""
+        field = m.fields.field_params[cate]
+        field2cam = field.camera_mlp.get_vals(fid)
+        out = {"field2cam": field2cam}
         samples_dict = {}
-        t_articulation = None
-        so3 = None
+        if has_skinning:
+            arti = field.warp.articulation.get_vals_and_mean(fid)
+            samples_dict["t_articulation"] = arti[0]
+            samples_dict["rest_articulation"] = arti[1]
+            out["t_articulation"] = arti[0]
+            if has_skel:
+                out["so3"] = field.warp.articulation.get_vals(
+                    fid, return_so3=True
+                )
+            # bone centers for visualization, camera-space transform
+            _, centers = dual_quaternion_to_quaternion_translation(
+                (arti[0][0][0], arti[0][1][0])
+            )
+            out["bone_centers"] = centers
+            out["se3_mat"] = quaternion_translation_to_se3(
+                field2cam[0], field2cam[1]
+            )[0]
+        out["xyz_t"] = field.forward_warp(
+            xyz[None, None], field2cam, fid, inst, samples_dict=samples_dict
+        )
+        return out
+
+    apply_frame = jax.jit(
+        lambda p, fid: model.apply({"params": p}, fid, method=frame_fn)
+    )
+
+    edges = None
+    if has_skel:
+        skel = _field_apply(
+            model, params,
+            lambda m: m.fields.field_params[cate].warp.articulation.skeleton,
+        )
+        edges = skel.edges
+    logscale = float(
+        np.exp(
+            np.asarray(
+                _field_apply(
+                    model, params,
+                    lambda m: m.fields.field_params[cate].logscale,
+                )
+            ).reshape(())
+        )
+    )
+
+    # dispatch all frames (async), then ONE device->host transfer: the
+    # readback link, not compute, dominates through a tunneled chip
+    outs_dev = [
+        apply_frame(params, jnp.asarray([frame_id], jnp.int32))
+        for frame_id in frame_ids
+    ]
+    outs = jax.device_get(outs_dev)
+
+    motion_tuples = {}
+    for frame_id, out in zip(frame_ids, outs):
+        field2cam = out["field2cam"]
         mesh_bones_t = None
         if has_skinning:
-            arti = _field_apply(
-                model, params,
-                lambda m, f: m.fields.field_params[
-                    cate
-                ].warp.articulation.get_vals_and_mean(f),
-                fid,
-            )
-            samples_dict["t_articulation"], samples_dict["rest_articulation"] = arti
-            t_articulation = samples_dict["t_articulation"]
-            if has_skel:
-                so3 = np.asarray(
-                    _field_apply(
-                        model, params,
-                        lambda m, f: m.fields.field_params[
-                            cate
-                        ].warp.articulation.get_vals(f, return_so3=True),
-                        fid,
-                    )
-                )[0]
-            # bone visualization in camera space
-            from lab4d_tpu.utils.quat import (
-                dual_quaternion_to_quaternion_translation,
-            )
-
-            _, centers = dual_quaternion_to_quaternion_translation(
-                (t_articulation[0][0], t_articulation[1][0])
-            )
-            edges = None
-            if has_skel:
-                skel = _field_apply(
-                    model, params,
-                    lambda m: m.fields.field_params[cate].warp.articulation.skeleton,
-                )
-                edges = skel.edges
-            mesh_bones_t = draw_skeleton_bones(np.asarray(centers), edges)
-            se3_mat = np.asarray(
-                quaternion_translation_to_se3(field2cam[0], field2cam[1])
-            )[0]
-            mesh_bones_t.apply_transform(se3_mat)
-
-        xyz_t = _field_apply(
-            model, params,
-            lambda m, x, f2c, f, i, sd: m.fields.field_params[
-                cate
-            ].forward_warp(x, f2c, f, i, samples_dict=sd),
-            xyz[None, None], field2cam, fid, inst, samples_dict,
-        )
-        mesh_t = Mesh(np.asarray(xyz_t)[0, 0], mesh_rest.faces)
-
-        logscale = _field_apply(
-            model, params,
-            lambda m: m.fields.field_params[cate].logscale,
-        )
-        f2c_world = (
-            np.asarray(field2cam[0]),
-            np.asarray(field2cam[1]) / float(np.exp(logscale).reshape(())),
-        )
+            mesh_bones_t = draw_skeleton_bones(out["bone_centers"], edges)
+            mesh_bones_t.apply_transform(out["se3_mat"])
+        mesh_t = Mesh(out["xyz_t"][0, 0], mesh_rest.faces)
+        f2c_world = (field2cam[0], field2cam[1] / logscale)
         motion_tuples[frame_id] = MotionParamsExpl(
             field2cam=f2c_world,
             t_articulation=(
-                None
-                if t_articulation is None
-                else (np.asarray(t_articulation[0]), np.asarray(t_articulation[1]))
+                tuple(out["t_articulation"]) if has_skinning else None
             ),
-            so3=so3,
+            so3=out["so3"][0] if has_skel else None,
             mesh_t=mesh_t,
             bone_t=mesh_bones_t,
         )
