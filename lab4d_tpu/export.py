@@ -52,16 +52,20 @@ def extract_canonical_mesh(model, params, geo_state, cate, opts):
     aabb = np.asarray(geo_state[cate]["aabb"])
     inst_id = opts["inst_id"]
 
+    import jax
+
+    fn = lambda m, p: m.fields.field_params[cate].forward(
+        p, inst_id=jnp.full((p.shape[0],), inst_id, jnp.int32),
+        get_density=False,
+    )
+    jfn = jax.jit(
+        lambda p, pts: model.apply({"params": p}, pts, method=fn)
+    )
+
     def sdf_fn(pts):
-        fn = lambda m, p: m.fields.field_params[cate].forward(
-            p, inst_id=jnp.full((p.shape[0],), inst_id, jnp.int32)
-            if not None
-            else None,
-            get_density=False,
-        )
-        return np.asarray(
-            model.apply({"params": params}, jnp.asarray(pts), method=fn)
-        )
+        # jitted (eager per-chunk apply is per-op-dispatch-bound on a
+        # remote accelerator); one compile, ~8 dispatches per grid
+        return np.asarray(jfn(params, jnp.asarray(pts, jnp.float32)))
 
     return marching_cubes(
         sdf_fn, aabb, grid_size=opts["grid_size"], level=opts["level"],
