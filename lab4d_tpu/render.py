@@ -201,6 +201,24 @@ def render_batch(model, params, batch, geo_state, categories, chunk=1024):
     n_frames = len(batch["frameid_sub"])
     rendered_all = {}
     start = time.time()
+
+    def collect(chunks, n_chunks, csize, npix):
+        out = {
+            k: v.transpose(1, 0, 2, *range(3, v.ndim)).reshape(
+                1, n_chunks * csize, *v.shape[3:]
+            )[:, :npix]
+            for k, v in chunks.items()
+            if v.ndim >= 4
+        }
+        res = int(np.sqrt(npix))
+        for k, v in out.items():
+            img = v[0].reshape(res, res, -1)
+            rendered_all.setdefault(k, []).append(img)
+
+    # software pipeline: dispatch frame i+1 before reading back frame i,
+    # so the (slow) device->host transfer overlaps the next frame's
+    # compute — dispatch is async, device_get is the only sync point
+    pending = None
     for i in range(n_frames):
         sub = {}
         for k, v in batch.items():
@@ -222,20 +240,12 @@ def render_batch(model, params, batch, geo_state, categories, chunk=1024):
             1, 0, 2, 3
         )
         samples = prep_one(params, sub)  # per-frame cameras/FK, once
-        chunks = jax.device_get(
-            render_frame(params, samples, jnp.asarray(hxy_chunks))
-        )  # ONE dispatch + ONE transfer for all chunks/keys
-        out = {
-            k: v.transpose(1, 0, 2, *range(3, v.ndim)).reshape(
-                1, n_chunks * csize, *v.shape[3:]
-            )[:, :npix]
-            for k, v in chunks.items()
-            if v.ndim >= 4
-        }
-        res = int(np.sqrt(npix))
-        for k, v in out.items():
-            img = v[0].reshape(res, res, -1)
-            rendered_all.setdefault(k, []).append(img)
+        fut = render_frame(params, samples, jnp.asarray(hxy_chunks))
+        if pending is not None:
+            collect(jax.device_get(pending[0]), *pending[1:])
+        pending = (fut, n_chunks, csize, npix)
+    if pending is not None:
+        collect(jax.device_get(pending[0]), *pending[1:])
     print("rendering time: %.3f s (%d frames)" % (time.time() - start, n_frames))
 
     rendered = {k: np.stack(v) for k, v in rendered_all.items()}
