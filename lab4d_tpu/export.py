@@ -144,13 +144,18 @@ def extract_deformation(model, params, cate, mesh_rest, inst_id, frame_ids,
         )
     )
 
-    # dispatch all frames (async), then ONE device->host transfer: the
-    # readback link, not compute, dominates through a tunneled chip
-    outs_dev = [
-        apply_frame(params, jnp.asarray([frame_id], jnp.int32))
-        for frame_id in frame_ids
-    ]
-    outs = jax.device_get(outs_dev)
+    # dispatch frames async and read back in groups: one transfer per
+    # group batches the (slow) readback link without keeping every
+    # frame's (V,3) warped-vertex buffer live on device at once (long
+    # captures with dense meshes would OOM HBM otherwise)
+    group = 16
+    outs = []
+    for lo in range(0, len(frame_ids), group):
+        outs_dev = [
+            apply_frame(params, jnp.asarray([frame_id], jnp.int32))
+            for frame_id in frame_ids[lo : lo + group]
+        ]
+        outs.extend(jax.device_get(outs_dev))
 
     motion_tuples = {}
     for frame_id, out in zip(frame_ids, outs):

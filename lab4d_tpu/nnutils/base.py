@@ -196,10 +196,13 @@ class BaseMLP(nn.Module):
             biases = [b.astype(jnp.bfloat16) for b in biases]
 
         def matmul(h, w):
-            return jax.lax.dot_general(
+            # f32 accumulation even for bf16 operands (bf16 preferred
+            # type would let partial sums round to bf16), cast back after
+            out = jax.lax.dot_general(
                 h, w, (((h.ndim - 1,), (0,)), ((), ())),
-                preferred_element_type=h.dtype,
+                preferred_element_type=jnp.float32,
             )
+            return out.astype(h.dtype)
 
         out = x
         for i in range(self.D):

@@ -131,22 +131,18 @@ class MultiFields(nn.Module):
         deltas = jnp.concatenate([deltas_dict[c] for c in cates], axis=2)
 
         if len(cates) > 1:
-            # apply the sort as a per-ray one-hot permutation MATMUL over
-            # every channel packed into one (M,N,D,sumC) tensor: a batched
-            # take_along_axis over ~35 channels lowers to serial
-            # dynamic-slices on TPU (measured 2.5x slower in the analogous
-            # eval merge, nerf.py query_field_eval); the matmul form is
-            # one fused MXU contraction.
-            order = jnp.argsort(field_dict["depth"][..., 0], axis=-1)
-            D = order.shape[-1]
-            perm = jax.nn.one_hot(order, D, dtype=deltas.dtype)  # (M,N,D,D)
+            # depth-sort every channel at once with one permutation
+            # matmul (permutation_gather — batched multi-channel
+            # take_along_axis is a TPU slow path)
+            from lab4d_tpu.ops.renderer import permutation_gather
 
+            order = jnp.argsort(field_dict["depth"][..., 0], axis=-1)
             keys = list(field_dict.keys())
             widths = [field_dict[k].shape[-1] for k in keys]
             packed = jnp.concatenate(
                 [field_dict[k] for k in keys] + [deltas], axis=-1
             )
-            packed = jnp.einsum("mnds,mnsc->mndc", perm, packed)
+            packed = permutation_gather(order, packed)
             off = 0
             for k, w in zip(keys, widths):
                 field_dict[k] = packed[..., off : off + w]

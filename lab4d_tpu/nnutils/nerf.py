@@ -27,7 +27,12 @@ from lab4d_tpu.nnutils.base import CondMLP, embed_cond_mlp
 from lab4d_tpu.nnutils.embedding import FrameInfo, PosEmbedding
 from lab4d_tpu.nnutils.pose import CameraMLP
 from lab4d_tpu.nnutils.visibility import VisField
-from lab4d_tpu.ops.renderer import sample_cam_rays, sample_pdf, compute_weights
+from lab4d_tpu.ops.renderer import (
+    compute_weights,
+    permutation_gather,
+    sample_cam_rays,
+    sample_pdf,
+)
 from lab4d_tpu.utils.geom import (
     Kmatinv,
     apply_se3mat,
@@ -448,15 +453,11 @@ class NeRF(nn.Module):
         )
         out2.pop("density_raw")
 
-        # merge the halves by depth order. The permutation is applied as a
-        # one-hot matmul over ALL channels at once (a per-ray (D, D)
-        # permutation matrix on the MXU) instead of take_along_axis: a
-        # batched gather over ~35 (M,N,D,C) channels lowers to serial
-        # dynamic-slices on TPU, the matmul form is one fused contraction.
+        # merge the halves by depth order: ALL channels packed into one
+        # tensor, sorted with one permutation matmul (permutation_gather
+        # — batched multi-channel take_along_axis is a TPU slow path)
         depth_all = jnp.concatenate([depth1, depth2], axis=2)  # (M,N,D,1)
         order = jnp.argsort(depth_all[..., 0], axis=-1)  # (M,N,D)
-        D = depth_all.shape[2]
-        perm = jax.nn.one_hot(order, D, dtype=depth_all.dtype)  # (M,N,D,D)
 
         keys = list(out1.keys())
         widths = [out1[k].shape[-1] for k in keys]
@@ -465,7 +466,7 @@ class NeRF(nn.Module):
             + [depth_all],
             axis=-1,
         )  # (M,N,D,sumC+1)
-        packed_s = jnp.einsum("mnds,mnsc->mndc", perm, packed)
+        packed_s = permutation_gather(order, packed)
         feat_dict = {}
         off = 0
         for k, w in zip(keys, widths):

@@ -38,7 +38,13 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-_KERNEL_BF16 = __import__("os").environ.get("LAB4D_KERNEL_BF16", "0") == "1"
+import os as _os_mod
+
+
+def _kernel_bf16() -> bool:
+    # read per call (not at import) so monkeypatch.setenv / in-process
+    # A/B harnesses actually flip the gate
+    return _os_mod.environ.get("LAB4D_KERNEL_BF16", "0") == "1"
 
 
 def _dot(a, b):
@@ -51,13 +57,14 @@ def _dot(a, b):
     (W=128..256), not MXU-pass bound, and the in-kernel astype adds VPU
     work. Default stays f32 (exact vs the jnp oracle); the gate remains
     for re-measurement if widths grow (docs/performance.md)."""
-    if _KERNEL_BF16:
+    if _kernel_bf16():
         a = a.astype(jnp.bfloat16)
         b = b.astype(jnp.bfloat16)
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
-_DG_BWD = __import__("os").environ.get("LAB4D_DG_BWD", "1") == "1"
+def _dg_bwd() -> bool:
+    return _os_mod.environ.get("LAB4D_DG_BWD", "1") == "1"
 
 
 def _dot_tn(a, b):
@@ -67,9 +74,9 @@ def _dot_tn(a, b):
     dimension-number form lets Mosaic feed the MXU directly. Used for
     weight grads dW = acts.T @ g. LAB4D_DG_BWD=0 restores the explicit
     transpose for A/B."""
-    if not _DG_BWD:
+    if not _dg_bwd():
         return _dot(a.T, b)
-    if _KERNEL_BF16:
+    if _kernel_bf16():
         a = a.astype(jnp.bfloat16)
         b = b.astype(jnp.bfloat16)
     return jax.lax.dot_general(
@@ -80,9 +87,9 @@ def _dot_tn(a, b):
 def _dot_nt(a, b):
     """a @ b.T without materializing the transpose (contract over the
     last dim of both operands). Used for input grads dX = g @ W.T."""
-    if not _DG_BWD:
+    if not _dg_bwd():
         return _dot(a, b.T)
-    if _KERNEL_BF16:
+    if _kernel_bf16():
         a = a.astype(jnp.bfloat16)
         b = b.astype(jnp.bfloat16)
     return jax.lax.dot_general(

@@ -28,6 +28,9 @@ def crop_one(seqname: str, use_full: int, crop_size: int, outdir: str):
 
 
 def main():
+    if len(sys.argv) < 2 or (len(sys.argv) > 2 and not sys.argv[2].isdigit()):
+        print(__doc__)
+        sys.exit(1)
     collection = sys.argv[1]
     crop_size = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     outdir = sys.argv[3] if len(sys.argv) > 3 else "database/processed"
