@@ -287,18 +287,27 @@ class Trainer:
                     lambda p: model.apply({"params": p}, method=fn)
                 )
             elif what == "sdf_grid":
+                # f16 readback: sdf values only place marching-cubes
+                # vertices (~0.1% of a cell at f16 precision); the grid
+                # transfer, not compute, dominates geo upkeep on slow
+                # host links
                 fn = lambda m, pts: m.fields.field_params[cate].forward(
                     pts, inst_id=None, get_density=False
                 )
                 jfn = jax.jit(
-                    lambda p, pts: model.apply({"params": p}, pts, method=fn)
+                    lambda p, pts: model.apply(
+                        {"params": p}, pts, method=fn
+                    ).astype(jnp.float16)
                 )
             elif what == "vis_grid":
+                # only the sign is consumed (visibility mask) -> int8
                 fn = lambda m, pts: m.fields.field_params[cate].vis_mlp(
                     pts, inst_id=None
                 )
                 jfn = jax.jit(
-                    lambda p, pts: model.apply({"params": p}, pts, method=fn)
+                    lambda p, pts: (
+                        model.apply({"params": p}, pts, method=fn) > 0
+                    ).astype(jnp.int8)
                 )
             else:
                 raise ValueError(what)
@@ -715,7 +724,7 @@ class Trainer:
             aabb = np.stack([aabb[0] - 0.5 * size, aabb[1] + 0.5 * size])
         sdf_fn = lambda pts: np.asarray(
             self._apply_field_method(cate, "sdf_grid", jnp.asarray(pts))
-        )
+        ).astype(np.float32)
         vis_fn = (
             (lambda pts: np.asarray(
                 self._apply_field_method(cate, "vis_grid", jnp.asarray(pts))
