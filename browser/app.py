@@ -47,20 +47,129 @@ def build_index(root: str) -> str:
             cells.append(
                 f'<div class="cell">{media}<div class="name">{esc}</div></div>'
             )
+    for exp_dir in sorted(glob.glob(os.path.join(root, "logdir/*/export_*"))):
+        rel = os.path.relpath(exp_dir, root)
+        esc = html.escape(rel)
+        cells.append(
+            f'<div class="cell"><a href="/viewer?dir={esc}" '
+            f'style="color:#9ad">&#9654; 3D mesh viewer</a>'
+            f'<div class="name">{esc}</div></div>'
+        )
     if not cells:
         cells = ["<p>No results yet. Train something!</p>"]
     return PAGE_TMPL.format(cells="\n".join(cells))
 
 
+VIEWER_TMPL = """<!doctype html><html><head><title>mesh viewer</title>
+<style>
+ body {{ font-family: sans-serif; background: #111; color: #eee; }}
+ img {{ border-radius: 6px; max-width: 90vw; }}
+ .bar {{ margin: 8px 0; }}
+ input[type=range] {{ width: 420px; }}
+</style></head><body>
+<h2>{title}</h2>
+<div class="bar">frame <input type="range" id="fr" min="0" max="{maxf}"
+ value="0"> <span id="frv">0</span>
+ &nbsp; azimuth <input type="range" id="az" min="0" max="350" step="10"
+ value="30"> <span id="azv">30</span>&deg;</div>
+<img id="view" src="/mesh.png?path={path0}&az=30">
+<script>
+ const objs = {objs};
+ const img = document.getElementById('view');
+ function upd() {{
+   const f = document.getElementById('fr').value;
+   const a = document.getElementById('az').value;
+   document.getElementById('frv').textContent = f;
+   document.getElementById('azv').textContent = a;
+   img.src = '/mesh.png?path=' + objs[f] + '&az=' + a;
+ }}
+ document.getElementById('fr').oninput = upd;
+ document.getElementById('az').oninput = upd;
+</script></body></html>"""
+
+
+def render_mesh_png(path: str, az_deg: float, res: int = 512) -> bytes:
+    """Rasterize one obj (numpy rasterizer — no GL, no three.js: this
+    image has zero egress, so the viewer renders server-side)."""
+    import io as _io
+
+    import numpy as np
+    from PIL import Image
+
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in _sys.path:
+        _sys.path.insert(0, repo)
+    from lab4d_tpu.meshlib import load_obj
+    from lab4d_tpu.utils.raster import look_at, render_mesh
+
+    mesh = load_obj(path)
+    verts = np.asarray(mesh.vertices, np.float64)
+    center = (verts.max(0) + verts.min(0)) / 2
+    radius = float(np.linalg.norm(verts - center, axis=-1).max())
+    ang = np.radians(az_deg)
+    el = np.radians(15.0)
+    eye = center + max(radius * 2.5, 1e-3) * np.array(
+        [np.cos(el) * np.sin(ang), np.sin(el), -np.cos(el) * np.cos(ang)]
+    )
+    K = np.array([res, res, res / 2, res / 2], np.float64)
+    img = render_mesh(
+        verts, np.asarray(mesh.faces), look_at(eye, center), K, res
+    )
+    buf = _io.BytesIO()
+    Image.fromarray((img * 255).astype("uint8")).save(buf, "PNG")
+    return buf.getvalue()
+
+
+def _safe_rel(root: str, rel: str):
+    """Resolve rel under root, refusing path escapes."""
+    full = os.path.realpath(os.path.join(root, rel))
+    if not full.startswith(os.path.realpath(root) + os.sep):
+        return None
+    return full
+
+
 class Handler(SimpleHTTPRequestHandler):
+    def _send(self, body: bytes, ctype: str):
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
     def do_GET(self):
-        if self.path in ("/", "/index.html"):
-            body = build_index(os.getcwd()).encode()
-            self.send_response(200)
-            self.send_header("Content-Type", "text/html")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
+        from urllib.parse import parse_qs, urlparse
+
+        url = urlparse(self.path)
+        if url.path in ("/", "/index.html"):
+            self._send(build_index(os.getcwd()).encode(), "text/html")
+        elif url.path == "/viewer":
+            q = parse_qs(url.query)
+            rel = q.get("dir", [""])[0]
+            full = _safe_rel(os.getcwd(), rel)
+            objs = sorted(
+                p for p in glob.glob(os.path.join(full or "", "*.obj"))
+                if "-bone" not in p
+            ) if full else []
+            if not objs:
+                self._send(b"no .obj files found", "text/plain")
+                return
+            rels = [os.path.relpath(p, os.getcwd()) for p in objs]
+            body = VIEWER_TMPL.format(
+                title=html.escape(rel), maxf=len(rels) - 1,
+                path0=html.escape(rels[0]),
+                objs="[" + ",".join(f"'{html.escape(r)}'" for r in rels) + "]",
+            ).encode()
+            self._send(body, "text/html")
+        elif url.path == "/mesh.png":
+            q = parse_qs(url.query)
+            full = _safe_rel(os.getcwd(), q.get("path", [""])[0])
+            if not full or not os.path.exists(full):
+                self.send_error(404)
+                return
+            az = float(q.get("az", ["30"])[0])
+            self._send(render_mesh_png(full, az), "image/png")
         else:
             super().do_GET()
 
