@@ -126,3 +126,35 @@ def test_config_hier_validation():
     cfg = Config.from_opts(dict(good, ngpu=4, video_shards=2))
     back = Config.from_json(cfg.to_json()).to_opts()
     assert back["ngpu"] == 4 and back["video_shards"] == 2
+
+
+def test_browser_mesh_viewer(tmp_path):
+    """The /viewer and /mesh.png routes: obj discovery, server-side
+    rasterization, and path-traversal rejection."""
+    from browser.app import build_index, render_mesh_png, _safe_rel
+    from lab4d_tpu.meshlib import Mesh
+
+    exp = tmp_path / "logdir" / "seq-run" / "export_0000"
+    exp.mkdir(parents=True)
+    # a tetrahedron obj
+    verts = np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32
+    )
+    faces = np.array([[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]])
+    Mesh(verts, faces).export(str(exp / "fg-00000.obj"))
+
+    page = build_index(str(tmp_path))
+    assert "/viewer?dir=" in page and "export_0000" in page
+
+    png = render_mesh_png(str(exp / "fg-00000.obj"), az_deg=30, res=64)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    import io
+
+    from PIL import Image
+
+    img = np.asarray(Image.open(io.BytesIO(png)))
+    assert img.shape == (64, 64, 3)
+    assert (img[..., 0] < 250).sum() > 10  # mesh actually drawn
+
+    assert _safe_rel(str(tmp_path), "../../etc/passwd") is None
+    assert _safe_rel(str(tmp_path), "logdir/seq-run") is not None
