@@ -177,8 +177,9 @@ def _corr_lookup(pyr, coords):
 
 
 def weights_path() -> str:
-    wdir = os.environ.get("LAB4D_WEIGHTS_DIR", "database/weights")
-    return os.path.join(wdir, WEIGHTS_NAME)
+    from preprocess.backends.weights import resolve_weights
+
+    return resolve_weights(WEIGHTS_NAME)
 
 
 @functools.lru_cache(maxsize=1)

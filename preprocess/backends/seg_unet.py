@@ -67,8 +67,9 @@ class SegUNet(nn.Module):
 
 
 def weights_path() -> str:
-    wdir = os.environ.get("LAB4D_WEIGHTS_DIR", "database/weights")
-    return os.path.join(wdir, WEIGHTS_NAME)
+    from preprocess.backends.weights import resolve_weights
+
+    return resolve_weights(WEIGHTS_NAME)
 
 
 @functools.lru_cache(maxsize=1)

@@ -60,12 +60,13 @@ def rot6d_to_matrix(sixd: jnp.ndarray) -> jnp.ndarray:
 
 
 def weights_path(obj_class: str = "") -> str:
-    wdir = os.environ.get("LAB4D_WEIGHTS_DIR", "database/weights")
+    from preprocess.backends.weights import resolve_weights
+
     if obj_class:
-        p = os.path.join(wdir, f"viewpoint_{obj_class}.msgpack")
+        p = resolve_weights(f"viewpoint_{obj_class}.msgpack")
         if os.path.exists(p):
             return p
-    return os.path.join(wdir, "viewpoint_net.msgpack")
+    return resolve_weights("viewpoint_net.msgpack")
 
 
 @functools.lru_cache(maxsize=4)
