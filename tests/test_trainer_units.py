@@ -114,3 +114,28 @@ def test_merge_params_surgery():
     np.testing.assert_allclose(
         np.asarray(merged["fields"]["mlp"]["kernel"]), 2.0
     )
+
+
+def test_freeze_bone_len_labels():
+    """--freeze_bone_len labels skeleton bone lengths 'frozen' (0 lr)
+    for the category->new-instance transfer workflow (tutorial 4)."""
+    from lab4d_tpu.engine.trainer import param_labels
+
+    params = {
+        "fields": {
+            "warp": {
+                "articulation": {"log_bone_len": np.zeros(25),
+                                 "so3": np.zeros((16, 25, 3))},
+            },
+            "mlp": {"kernel": np.zeros((4, 4))},
+        }
+    }
+    import flax
+
+    lab = flax.traverse_util.flatten_dict(
+        param_labels(params, freeze_bone_len=True)
+    )
+    assert lab[("fields", "warp", "articulation", "log_bone_len")] == "frozen"
+    assert lab[("fields", "mlp", "kernel")] == "base"
+    lab2 = flax.traverse_util.flatten_dict(param_labels(params))
+    assert lab2[("fields", "warp", "articulation", "log_bone_len")] != "frozen"
