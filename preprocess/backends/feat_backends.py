@@ -5,7 +5,12 @@ PCA-16 fit over masked pixels across all videos of a collection).
 
 Backends:
   dinov2     — torch.hub dinov2_vits14 when its weights are cached
-  filterbank — default: a jitted JAX multi-scale oriented filter bank
+  net        — trained dense-descriptor U-Net (feat_net.py) when
+               database/weights/feat_net.msgpack exists: self-supervised
+               on synthetic multi-view correspondences (InfoNCE over
+               flow-matched pixels), emitting 24-dim maps that go
+               through the same collection PCA
+  filterbank — fallback: a jitted JAX multi-scale oriented filter bank
                (Gaussian color pyramid + even/odd steerable responses),
                PCA'd to 16 dims over masked pixels across the collection.
                Deterministic, no weights; gives the feature/matching
@@ -141,9 +146,14 @@ def extract_features_collection(
 
     from preprocess.libs.io import load_frame_data
 
-    frame_fn = (
-        _frame_features_dinov2 if backend == "dinov2" else _frame_features_filterbank
-    )
+    if backend == "dinov2":
+        frame_fn = _frame_features_dinov2
+    elif backend == "net":
+        from preprocess.backends.feat_net import frame_features_net
+
+        frame_fn = frame_features_net
+    else:
+        frame_fn = _frame_features_filterbank
 
     raw_feats, masks = [], []
     for paths in seq_frames:

@@ -28,9 +28,14 @@ def extract_features(
     database_root: str = "database",
 ):
     outdir = f"{database_root}/processed"
-    backend = pick_backend(
-        "LAB4D_FEAT_BACKEND", "dinov2", "filterbank", probe_dinov2
+    # three-way: hub-cached dinov2 > trained descriptor net > filter bank
+    from preprocess.backends.feat_net import probe_feat_net
+
+    fallback = pick_backend(
+        "LAB4D_FEAT_BACKEND", "net", "filterbank", probe_feat_net
     )
+    backend = pick_backend("LAB4D_FEAT_BACKEND", "dinov2", fallback,
+                           probe_dinov2)
 
     config = configparser.RawConfigParser()
     config.read(f"{database_root}/configs/{collection_name}.config")
