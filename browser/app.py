@@ -145,31 +145,63 @@ class Handler(SimpleHTTPRequestHandler):
         if url.path in ("/", "/index.html"):
             self._send(build_index(os.getcwd()).encode(), "text/html")
         elif url.path == "/viewer":
+            import json as _json
+            import re as _re
+            from urllib.parse import quote
+
             q = parse_qs(url.query)
             rel = q.get("dir", [""])[0]
+            cate = q.get("cate", [""])[0]
             full = _safe_rel(os.getcwd(), rel)
-            objs = sorted(
-                p for p in glob.glob(os.path.join(full or "", "*.obj"))
-                if "-bone" not in p
-            ) if full else []
-            if not objs:
-                self._send(b"no .obj files found", "text/plain")
+            # per-FRAME meshes of one category: "<cate>-%05d.obj" only —
+            # the pattern itself excludes "<cate>.obj" rest meshes and
+            # "<cate>-%05d-bone.obj" bone meshes, matched on the
+            # BASENAME so run/dir names may contain anything
+            frame_re = _re.compile(r"^(.+)-(\d{5})\.obj$")
+            by_cate = {}
+            for p in sorted(glob.glob(os.path.join(full or "", "*.obj"))):
+                m = frame_re.match(os.path.basename(p))
+                if m:
+                    by_cate.setdefault(m.group(1), []).append(p)
+            if not by_cate:
+                self._send(b"no per-frame .obj files found", "text/plain")
                 return
+            if cate not in by_cate:
+                cate = sorted(by_cate)[0]
+            objs = by_cate[cate]
             rels = [os.path.relpath(p, os.getcwd()) for p in objs]
+            links = " | ".join(
+                f'<a style="color:#9ad" href="/viewer?dir={quote(rel)}'
+                f'&cate={quote(c)}">{html.escape(c)}</a>'
+                for c in sorted(by_cate)
+            )
             body = VIEWER_TMPL.format(
-                title=html.escape(rel), maxf=len(rels) - 1,
-                path0=html.escape(rels[0]),
-                objs="[" + ",".join(f"'{html.escape(r)}'" for r in rels) + "]",
+                title=html.escape(f"{rel} [{cate}]") + "<br>" + links,
+                maxf=len(rels) - 1,
+                path0=quote(rels[0]),
+                objs=_json.dumps([quote(r) for r in rels]),
             ).encode()
             self._send(body, "text/html")
         elif url.path == "/mesh.png":
             q = parse_qs(url.query)
             full = _safe_rel(os.getcwd(), q.get("path", [""])[0])
-            if not full or not os.path.exists(full):
+            if (
+                not full
+                or not full.endswith(".obj")
+                or not os.path.exists(full)
+            ):
                 self.send_error(404)
                 return
-            az = float(q.get("az", ["30"])[0])
-            self._send(render_mesh_png(full, az), "image/png")
+            try:
+                az = float(q.get("az", ["30"])[0])
+            except ValueError:
+                az = 30.0
+            try:
+                png = render_mesh_png(full, az)
+            except Exception as exc:  # empty/corrupt mesh: report, not die
+                self.send_error(500, f"render failed: {exc}")
+                return
+            self._send(png, "image/png")
         else:
             super().do_GET()
 

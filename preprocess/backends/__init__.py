@@ -7,7 +7,8 @@ available.  Selection via env vars:
 
   LAB4D_DEPTH_BACKEND   = zoe | unet | flowdisp | const      (default: auto)
   LAB4D_SEG_BACKEND     = external | unet | grabcut | full   (default: auto)
-  LAB4D_FEAT_BACKEND    = dinov2 | filterbank                (default: auto)
+  LAB4D_FEAT_BACKEND    = dinov2 | net | filterbank          (default: auto)
+  LAB4D_FLOW_BACKEND    = raft | classical                    (default: auto)
 
 "auto" picks the neural backend if importable, else the classical one.
 """

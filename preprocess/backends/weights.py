@@ -10,8 +10,12 @@ Search order for a weight file ``<name>``:
    from their own workdir would silently drop to the classical
    backends even though trained weights ship with the framework.
 
-Returns the first existing path, else the cwd-relative path (so
-training scripts write there by default).
+Returns the first existing path, else the cwd-relative path.
+
+Training scripts must NOT write through resolve_weights (the repo
+fallback would make a short experimental run clobber the shipped
+trained weights) — they write to train_out_path(), which is always
+cwd-relative unless $LAB4D_WEIGHTS_DIR overrides it.
 """
 
 from __future__ import annotations
@@ -32,3 +36,12 @@ def resolve_weights(name: str) -> str:
     if os.path.exists(repo_path):
         return repo_path
     return cwd_path
+
+
+def train_out_path(name: str) -> str:
+    """Default OUTPUT path for training scripts: always the cwd (or the
+    explicit $LAB4D_WEIGHTS_DIR), never the repo fallback."""
+    wdir = os.environ.get(
+        "LAB4D_WEIGHTS_DIR", os.path.join("database", "weights")
+    )
+    return os.path.join(wdir, name)

@@ -68,7 +68,9 @@ def main(steps=1200, res=128, out_path=None, batch=4, seed=0, log_every=50):
 
     from preprocess.backends.depth_unet import DepthUNet, weights_path
 
-    out_path = out_path or weights_path()
+    from preprocess.backends.weights import train_out_path
+
+    out_path = out_path or train_out_path("depth_unet.msgpack")
     rng = np.random.default_rng(seed)
     model = DepthUNet()
     params = model.init(
@@ -118,7 +120,8 @@ def main(steps=1200, res=128, out_path=None, batch=4, seed=0, log_every=50):
             print(f"step {it}: loss={float(l):.4f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
 
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    if os.path.dirname(out_path):
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "wb") as f:
         f.write(serialization.to_bytes(params))
     print(f"wrote {out_path}")

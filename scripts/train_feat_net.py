@@ -94,6 +94,32 @@ def bilinear(fmap, yx):
     )
 
 
+def eval_top1(desc_fn, seed: int = 999, n_pairs: int = 8) -> float:
+    """Held-out top-1 correspondence accuracy among the K in-pair
+    candidates, under photometric jitter on view 1. Re-seeds its own rng
+    so two backends evaluated with the same seed see IDENTICAL pairs
+    (a paired comparison — unpaired draws made the gate flaky)."""
+    ev = np.random.default_rng(seed)
+    accs = []
+    for _ in range(n_pairs):
+        rgb0, rgb1, flow, valid = gen_pair(ev, RES)
+        rgb1 = photometric_jitter(ev, rgb1)
+        corr = sample_correspondences(ev, flow, valid)
+        if corr is None:
+            continue
+        src, dst = corr
+        f0 = np.asarray(desc_fn(rgb0))
+        f1 = np.asarray(desc_fn(rgb1))
+        f0 = f0 / np.maximum(np.linalg.norm(f0, axis=-1, keepdims=True), 1e-6)
+        f1 = f1 / np.maximum(np.linalg.norm(f1, axis=-1, keepdims=True), 1e-6)
+        d0 = f0[src[:, 0], src[:, 1]]
+        di = np.round(dst).astype(int)
+        d1 = f1[np.clip(di[:, 0], 0, RES - 1), np.clip(di[:, 1], 0, RES - 1)]
+        sim = d0 @ d1.T
+        accs.append(float((sim.argmax(1) == np.arange(K)).mean()))
+    return float(np.mean(accs))
+
+
 def main(steps=1200, out_path=None, batch=4, seed=0, log_every=50):
     import jax
     import jax.numpy as jnp
@@ -102,7 +128,9 @@ def main(steps=1200, out_path=None, batch=4, seed=0, log_every=50):
 
     from preprocess.backends.feat_net import FeatNet, weights_path
 
-    out_path = out_path or weights_path()
+    from preprocess.backends.weights import train_out_path
+
+    out_path = out_path or train_out_path("feat_net.msgpack")
     rng = np.random.default_rng(seed)
     model = FeatNet()
     d = jnp.zeros((RES, RES, 3), jnp.float32)
@@ -158,47 +186,23 @@ def main(steps=1200, out_path=None, batch=4, seed=0, log_every=50):
             print(f"step {it}: loss={float(l):.3f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
 
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    if os.path.dirname(out_path):
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "wb") as f:
         f.write(serialization.to_bytes(params))
     print(f"wrote {out_path}")
 
     # held-out: top-1 correspondence accuracy among K candidates,
-    # net vs the classical filter bank
+    # net vs the classical filter bank (PAIRED: eval_top1 re-seeds per
+    # call so both backends see identical pairs)
     from preprocess.backends.feat_backends import filterbank_features
 
     run = jax.jit(lambda p, im: model.apply({"params": p}, im))
-    ev = np.random.default_rng(seed + 999)
 
-    def top1(desc_fn):
-        accs = []
-        for _ in range(8):
-            rgb0, rgb1, flow, valid = gen_pair(ev, RES)
-            rgb1 = photometric_jitter(ev, rgb1)
-            corr = sample_correspondences(ev, flow, valid)
-            if corr is None:
-                continue
-            src, dst = corr
-            f0 = np.asarray(desc_fn(rgb0))
-            f1 = np.asarray(desc_fn(rgb1))
-            f0 = f0 / np.maximum(
-                np.linalg.norm(f0, axis=-1, keepdims=True), 1e-6
-            )
-            f1 = f1 / np.maximum(
-                np.linalg.norm(f1, axis=-1, keepdims=True), 1e-6
-            )
-            d0 = f0[src[:, 0], src[:, 1]]
-            di = np.round(dst).astype(int)
-            d1 = f1[np.clip(di[:, 0], 0, RES - 1),
-                    np.clip(di[:, 1], 0, RES - 1)]
-            sim = d0 @ d1.T
-            accs.append(float((sim.argmax(1) == np.arange(K)).mean()))
-        return float(np.mean(accs))
-
-    acc_net = top1(lambda im: run(params, jnp.asarray(
-        im.astype(np.float32))))
-    acc_fb = top1(lambda im: filterbank_features(jnp.asarray(
-        im.astype(np.float32))))
+    acc_net = eval_top1(lambda im: run(params, jnp.asarray(
+        im.astype(np.float32))), seed=seed + 999, n_pairs=8)
+    acc_fb = eval_top1(lambda im: filterbank_features(jnp.asarray(
+        im.astype(np.float32))), seed=seed + 999, n_pairs=8)
     print(f"held-out top-1 correspondence acc (K={K}): "
           f"net={acc_net:.3f}, filterbank={acc_fb:.3f}")
     return acc_net, acc_fb

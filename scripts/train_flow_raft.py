@@ -101,7 +101,9 @@ def main(steps=1500, res=128, out_path=None, batch=4, seed=0,
 
     from preprocess.backends.flow_raft import RAFTLite, weights_path
 
-    out_path = out_path or weights_path()
+    from preprocess.backends.weights import train_out_path
+
+    out_path = out_path or train_out_path("flow_raft.msgpack")
     rng = np.random.default_rng(seed)
     model = RAFTLite()
     d = jnp.zeros((res, res, 3), jnp.float32)
@@ -147,7 +149,8 @@ def main(steps=1500, res=128, out_path=None, batch=4, seed=0,
             print(f"step {it}: loss={float(l):.3f} px "
                   f"({time.time() - t0:.0f}s)", flush=True)
 
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    if os.path.dirname(out_path):
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "wb") as f:
         f.write(serialization.to_bytes(params))
     print(f"wrote {out_path}")

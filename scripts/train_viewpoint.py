@@ -84,7 +84,9 @@ def main(steps=1500, out_path=None, batch=16, seed=0, log_every=50):
 
     from preprocess.backends.viewpoint_net import ViewpointNet, weights_path
 
-    out_path = out_path or weights_path()
+    from preprocess.backends.weights import train_out_path
+
+    out_path = out_path or train_out_path("viewpoint_net.msgpack")
     rng = np.random.default_rng(seed)
     model = ViewpointNet()
     params = model.init(
@@ -123,7 +125,8 @@ def main(steps=1500, out_path=None, batch=16, seed=0, log_every=50):
             print(f"step {it}: loss={float(l):.4f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
 
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    if os.path.dirname(out_path):
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "wb") as f:
         f.write(serialization.to_bytes(params))
     print(f"wrote {out_path}")

@@ -54,45 +54,21 @@ def test_feat_net_shapes():
 @pytest.mark.skipif(not os.path.exists(SHIPPED),
                     reason="no shipped feat_net weights")
 def test_shipped_weights_beat_filterbank():
-    """Held-out top-1 correspondence accuracy (K in-pair candidates) of
-    the shipped net must beat the classical filter bank."""
+    """PAIRED held-out top-1 correspondence accuracy (identical pairs
+    via per-call seeding in eval_top1) of the shipped net vs the
+    classical filter bank, under photometric jitter."""
     import jax.numpy as jnp
 
     from preprocess.backends.feat_backends import filterbank_features
     from preprocess.backends.feat_net import frame_features_net
-    from scripts.train_feat_net import (
-        K,
-        RES,
-        photometric_jitter,
-        sample_correspondences,
+    from scripts.train_feat_net import eval_top1
+
+    acc_net = eval_top1(
+        lambda im: frame_features_net((im * 255).astype(np.uint8)),
+        seed=42, n_pairs=4,
     )
-    from scripts.train_flow_raft import gen_pair
-
-    rng = np.random.default_rng(42)
-
-    def top1(desc_fn):
-        accs = []
-        for _ in range(4):
-            rgb0, rgb1, flow, valid = gen_pair(rng, RES)
-            rgb1 = photometric_jitter(rng, rgb1)
-            corr = sample_correspondences(rng, flow, valid)
-            if corr is None:
-                continue
-            src, dst = corr
-            f0, f1 = np.asarray(desc_fn(rgb0)), np.asarray(desc_fn(rgb1))
-            f0 = f0 / np.maximum(np.linalg.norm(f0, axis=-1, keepdims=True), 1e-6)
-            f1 = f1 / np.maximum(np.linalg.norm(f1, axis=-1, keepdims=True), 1e-6)
-            d0 = f0[src[:, 0], src[:, 1]]
-            di = np.clip(np.round(dst).astype(int), 0, RES - 1)
-            d1 = f1[di[:, 0], di[:, 1]]
-            sim = d0 @ d1.T
-            accs.append(float((sim.argmax(1) == np.arange(K)).mean()))
-        return float(np.mean(accs))
-
-    acc_net = top1(
-        lambda im: frame_features_net((im * 255).astype(np.uint8))
-    )
-    acc_fb = top1(
-        lambda im: filterbank_features(jnp.asarray(im.astype(np.float32)))
+    acc_fb = eval_top1(
+        lambda im: filterbank_features(jnp.asarray(im.astype(np.float32))),
+        seed=42, n_pairs=4,
     )
     assert acc_net > acc_fb, (acc_net, acc_fb)
