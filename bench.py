@@ -9,6 +9,7 @@ one RTX 3090 (BASELINE.md: 4096 rays x 4000 iters / 1260 s).
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -17,6 +18,38 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 BASELINE_RAYS_PER_SEC = 13_000.0
+
+
+def wait_for_healthy_backend(budget_s: float = 2400.0) -> bool:
+    """Probe the accelerator in a timed child process until it answers.
+
+    The tunneled TPU service intermittently degrades so far that even
+    `jax.devices()` blocks forever in-process; probing in a killable
+    subprocess is the only safe health check. Retries within `budget_s`
+    (compile service outages have lasted hours), returns False if the
+    backend never comes up so the caller can fail cleanly instead of
+    hanging the driver."""
+    probe = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((512, 512));"
+        "(x @ x).block_until_ready();"
+        "print('BENCH_PROBE_OK')"
+    )
+    deadline = time.monotonic() + budget_s
+    while True:
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", probe],
+                capture_output=True, text=True, timeout=180,
+            )
+            if "BENCH_PROBE_OK" in out.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= deadline:
+            return False
+        print("bench: backend unhealthy, retrying...", file=sys.stderr)
+        time.sleep(120)
 
 
 def main():
@@ -97,4 +130,18 @@ def main():
 
 
 if __name__ == "__main__":
+    if not wait_for_healthy_backend():
+        # never hang the driver: record the outage as a measurable zero
+        print(
+            json.dumps(
+                {
+                    "metric": "train_rays_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "rays/s",
+                    "vs_baseline": 0.0,
+                    "error": "accelerator backend unreachable (service outage)",
+                }
+            )
+        )
+        sys.exit(0)
     main()
