@@ -172,8 +172,13 @@ class Deformable(FeatureNeRF):
         feat_dict, deltas, aux_dict = super().query_field(
             samples_dict, sched=sched, train=train, flow_thresh=flow_thresh
         )
-        gauss_field = self.compute_gauss_density(feat_dict["xyz"], samples_dict)
-        feat_dict.update(gauss_field)
+        from lab4d_tpu.nnutils.nerf import _eval_wants
+
+        if train or _eval_wants("gauss_mask"):
+            gauss_field = self.compute_gauss_density(
+                feat_dict["xyz"], samples_dict
+            )
+            feat_dict.update(gauss_field)
         return feat_dict, deltas, aux_dict
 
     def compute_gauss_density(self, xyz, samples_dict):

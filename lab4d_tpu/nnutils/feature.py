@@ -177,7 +177,11 @@ class FeatureNeRF(NeRF):
             samples_dict, sched=sched, train=train, flow_thresh=flow_thresh
         )
         xyz = feat_dict["xyz"]
-        if "feature" not in feat_dict:  # fused path computed it already
+        from lab4d_tpu.nnutils.nerf import _eval_wants
+
+        if "feature" not in feat_dict and (train or _eval_wants("feature")):
+            # fused path computed it already; at eval the channel subset
+            # may skip the feature head outright (nerf._eval_channels)
             feat_dict.update(self.compute_feat(xyz, fused=None if train else False))
         if train:
             if "feature" in samples_dict and "feature" in feat_dict:

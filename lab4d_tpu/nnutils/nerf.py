@@ -73,6 +73,27 @@ def _eval_merged_enabled() -> bool:
     return os.environ.get("LAB4D_EVAL_MERGED", "1") == "1"
 
 
+def _eval_channels():
+    """Optional rendered-channel subset (LAB4D_EVAL_CHANNELS: comma list,
+    unset/"" = all channels). Set by `render.py --render_keys`: the eval
+    pass then skips the producers of unrequested channels — the feature
+    MLP, the vis MLP, the cycle-consistency warp, and (biggest) the
+    normal/eikonal SDF-gradient vjp — while keeping every produced
+    channel bit-identical to the full pass. Returns None (= all) or a
+    frozenset of keys."""
+    import os
+
+    v = os.environ.get("LAB4D_EVAL_CHANNELS", "").strip()
+    if not v:
+        return None
+    return frozenset(s.strip() for s in v.split(",") if s.strip())
+
+
+def _eval_wants(*keys) -> bool:
+    ch = _eval_channels()
+    return ch is None or any(k in ch for k in keys)
+
+
 class NeRF(nn.Module):
     """A static SDF + appearance field with camera/visibility submodules."""
 
@@ -351,29 +372,40 @@ class NeRF(nn.Module):
 
         The SDF gradient comes from a vjp around warp+basefield whose
         primal is shared (by CSE) with the head evaluation — no separate
-        normal pass re-running the field (nerf.py:455-493)."""
+        normal pass re-running the field (nerf.py:455-493).
 
-        def warp_sdf(pts_cam):
-            bw = self.backward_warp(
-                pts_cam, dir_cam, field2cam, frame_id, inst_id,
+        When a channel subset is requested (`render.py --render_keys`,
+        see _eval_channels) the producers of unrequested channels are
+        skipped at trace time; produced channels are unchanged."""
+        eikonal = normal = None
+        if _eval_wants("normal", "eikonal"):
+
+            def warp_sdf(pts_cam):
+                bw = self.backward_warp(
+                    pts_cam, dir_cam, field2cam, frame_id, inst_id,
+                    samples_dict=samples_dict,
+                )
+                sdf = self.forward(
+                    bw["xyz"], inst_id=inst_id, get_density=False,
+                    sched=sched, fused=False,
+                )
+                return sdf, bw
+
+            sdf, sdf_vjp, backwarp_dict = jax.vjp(
+                warp_sdf, xyz_cam, has_aux=True
+            )
+            g = sdf_vjp(jnp.ones_like(sdf))[0]
+            from lab4d_tpu.utils.geom import safe_norm
+
+            gnorm = safe_norm(g)
+            eikonal = (gnorm - 1.0) ** 2
+            normal = g / jnp.maximum(gnorm, 1e-6)
+            normal = normal * jnp.asarray([1.0, -1.0, -1.0])  # ECON convention
+        else:
+            backwarp_dict = self.backward_warp(
+                xyz_cam, dir_cam, field2cam, frame_id, inst_id,
                 samples_dict=samples_dict,
             )
-            sdf = self.forward(
-                bw["xyz"], inst_id=inst_id, get_density=False, sched=sched,
-                fused=False,
-            )
-            return sdf, bw
-
-        sdf, sdf_vjp, backwarp_dict = jax.vjp(
-            warp_sdf, xyz_cam, has_aux=True
-        )
-        g = sdf_vjp(jnp.ones_like(sdf))[0]
-        from lab4d_tpu.utils.geom import safe_norm
-
-        gnorm = safe_norm(g)
-        eikonal = (gnorm - 1.0) ** 2
-        normal = g / jnp.maximum(gnorm, 1e-6)
-        normal = normal * jnp.asarray([1.0, -1.0, -1.0])  # ECON convention
 
         xyz = backwarp_dict["xyz"]
         dir = backwarp_dict["dir"]
@@ -382,8 +414,10 @@ class NeRF(nn.Module):
         out = self.query_nerf(
             xyz, dir, frame_id, inst_id, sched, train=False, fused=False
         )
-        out["vis"] = self.vis_mlp(xyz, inst_id=inst_id, fused=False)
-        out.update(self.eval_extra_heads(xyz))
+        if _eval_wants("vis"):
+            out["vis"] = self.vis_mlp(xyz, inst_id=inst_id, fused=False)
+        if _eval_wants("feature"):
+            out.update(self.eval_extra_heads(xyz))
 
         # unmasked density drives the importance pdf (parity with
         # importance_sampling's coarse pass, which never masked)
@@ -393,18 +427,23 @@ class NeRF(nn.Module):
             for k in ("density", f"density_{self.category}"):
                 out[k] = out[k] * valid[..., None]
 
-        cyc_dict = self.cycle_loss(
-            xyz, xyz_t, frame_id, inst_id, samples_dict=samples_dict,
-            train=False,
-        )
-        for k in cyc_dict:
-            if k in backwarp_dict:
-                out[k] = (cyc_dict[k] + backwarp_dict[k]) / 2
-            else:
-                out[k] = cyc_dict[k]
+        if _eval_wants("cyc_dist"):
+            cyc_dict = self.cycle_loss(
+                xyz, xyz_t, frame_id, inst_id, samples_dict=samples_dict,
+                train=False,
+            )
+            for k in cyc_dict:
+                if k in backwarp_dict:
+                    out[k] = (cyc_dict[k] + backwarp_dict[k]) / 2
+                else:
+                    out[k] = cyc_dict[k]
 
-        out["eikonal"] = eikonal
-        out["normal"] = normal
+        if normal is not None:
+            out["eikonal"] = eikonal
+            out["normal"] = normal
+        # xyz/xyz_cam are free byproducts (needed internally, e.g. by the
+        # gauss-density head); unrequested ones are dropped at readback
+        # (render.render_batch), not here
         out["xyz"] = xyz
         out["xyz_cam"] = xyz_cam
         return out

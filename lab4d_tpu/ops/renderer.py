@@ -145,14 +145,18 @@ def render_pixel(field_dict: Dict[str, jnp.ndarray], deltas: jnp.ndarray):
 
     # visibility BCE: -E_t[ transmit * logsigmoid(vis) ], normalized by mean
     # visibility so the loss scale is transmittance-invariant. Computed on
-    # the squeezed (M,N,D) layout (see compute_weights).
-    is_visible = jax.lax.stop_gradient(transmit)
-    vis_loss = -jnp.mean(
-        jax.nn.log_sigmoid(field_dict["vis"][..., 0]) * is_visible, axis=-1,
-        keepdims=True,
-    )
-    vis_loss = vis_loss / jax.lax.stop_gradient(jnp.maximum(is_visible.mean(), 1e-6))
-    rendered["vis"] = vis_loss
+    # the squeezed (M,N,D) layout (see compute_weights). Absent when the
+    # eval channel subset skipped the vis head (nerf._eval_channels).
+    if "vis" in field_dict:
+        is_visible = jax.lax.stop_gradient(transmit)
+        vis_loss = -jnp.mean(
+            jax.nn.log_sigmoid(field_dict["vis"][..., 0]) * is_visible,
+            axis=-1, keepdims=True,
+        )
+        vis_loss = vis_loss / jax.lax.stop_gradient(
+            jnp.maximum(is_visible.mean(), 1e-6)
+        )
+        rendered["vis"] = vis_loss
 
     if "gauss_density" in field_dict:
         gauss_weights, _ = compute_weights(field_dict["gauss_density"], deltas)

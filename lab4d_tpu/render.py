@@ -29,6 +29,13 @@ class RenderFlags:
     flags.DEFINE_integer("freeze_id", -1, "freeze frame id to render, -1=off")
     flags.DEFINE_integer("num_frames", -1, "frames to render if freeze_id used")
     flags.DEFINE_bool("noskip", False, "render all frames skipped by flow")
+    flags.DEFINE_string(
+        "render_keys", "",
+        "comma-separated channel subset to render (e.g. rgb,depth,mask,"
+        "normal); '' renders every channel. Restricting channels skips "
+        "their producers on-device (feature/vis MLPs, cycle warp, the "
+        "normal-gradient pass) and shrinks the device->host readback",
+    )
 
 
 def construct_batch_from_opts(opts, model, params, geo_state, proxy, data_info):
@@ -145,7 +152,8 @@ def construct_batch_from_opts(opts, model, params, geo_state, proxy, data_info):
     return batch, raw_size
 
 
-def render_batch(model, params, batch, geo_state, categories, chunk=1024):
+def render_batch(model, params, batch, geo_state, categories, chunk=1024,
+                 keys=None):
     """Jit-render the batch frame by frame, `chunk` rays per jit call
     (model.evaluate, model.py:162-207, chunking model.py:259-326): a full
     256^2 deformable frame in one call needs >16 GB of HBM activations
@@ -189,6 +197,13 @@ def render_batch(model, params, batch, geo_state, categories, chunk=1024):
                 {"params": params}, samples_c, sched=None,
                 method=model.evaluate_rays,
             )
+            if keys is not None:
+                # drop unrequested channels on-device: the readback, not
+                # compute, dominates frame latency on slow host links
+                out = {
+                    k: v for k, v in out.items()
+                    if k in keys or k == "mask"  # mask blends the output
+                }
             # halve the device->host bytes: these channels feed mp4/png
             # colorization only, and f16 keeps ~3 decimal digits — the
             # readback (not compute) dominates frame latency on slow
@@ -266,6 +281,15 @@ def render(opts, construct_batch_func=construct_batch_from_opts):
 
         jax.config.update("jax_platforms", "cpu")
 
+    keys = None
+    if opts.get("render_keys"):
+        keys = frozenset(
+            s.strip() for s in opts["render_keys"].split(",") if s.strip()
+        )
+        # the eval pass reads this at trace time to skip the producers of
+        # unrequested channels (nerf._eval_channels)
+        os.environ["LAB4D_EVAL_CHANNELS"] = ",".join(sorted(keys))
+
     (model, params, geo_state, proxy, data_info, _) = (
         Trainer.construct_test_model(opts)
     )
@@ -276,7 +300,9 @@ def render(opts, construct_batch_func=construct_batch_from_opts):
         opts, sub_dir="renderings_%04d/%s" % (opts["inst_id"], opts["viewpoint"])
     )
     categories = tuple(geo_state.keys())
-    rendered = render_batch(model, params, batch, geo_state, categories)
+    rendered = render_batch(
+        model, params, batch, geo_state, categories, keys=keys
+    )
     save_rendered(rendered, save_dir, raw_size, data_info["apply_pca_fn"])
     print("Saved to %s" % save_dir)
 
