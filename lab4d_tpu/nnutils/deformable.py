@@ -76,7 +76,6 @@ class Deformable(FeatureNeRF):
             type(self.warp) is SkinningWarp
             and samples_dict is not None
             and "rest_articulation" in samples_dict
-            and not self.warp.use_warp_kernel(xyz)  # kernel path fuses it
         ):
             skin, delta = self.warp.skinning_model(
                 xyz, samples_dict["rest_articulation"], None, inst_id

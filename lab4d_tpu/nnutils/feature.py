@@ -48,6 +48,62 @@ class FeatureNeRF(NeRF):
             # operands in HBM. Training keeps the kernel (it wins there:
             # the backward's weight-grad accumulation amortizes it)
             return None
+        if not self.field_kernel_ok(xyz):
+            return None
+        from lab4d_tpu.ops.field_kernel import (
+            MAX_TILE, MAX_TILE_GRAD, _pick_tile, fused_nerf_heads,
+        )
+
+        M, N, D = xyz.shape[:3]
+        spp = N * D
+        if _pick_tile(spp, MAX_TILE) is None:
+            return None
+        if want_sdf_grad and _pick_tile(spp, MAX_TILE_GRAD) is None:
+            want_sdf_grad = False  # autodiff fallback in compute_jacobian
+
+        x2 = xyz.reshape(-1, 3)
+        nets, cfg, appr, win_b, win_c, ibeta = self.pack_field_nets(
+            x2, frame_id, inst_id, sched, train, M
+        )
+        dsdf = None
+        if want_sdf_grad:
+            from lab4d_tpu.ops.field_kernel import fused_nerf_heads_grad
+
+            density, rgb, vis, feature, dsdf = fused_nerf_heads_grad(
+                x2, None, appr, win_b, win_c, nets, ibeta, cfg, spp
+            )
+        else:
+            density, rgb, vis, feature = fused_nerf_heads(
+                x2, None, appr, win_b, win_c, nets, ibeta, cfg, spp
+            )
+
+        # the kernel emits final quantities: VolSDF density, sigmoid rgb,
+        # L2-normalized features — as separate (P, C) outputs, so these
+        # reshapes are free bitcasts
+        lead = xyz.shape[:-1]
+        density = density.reshape(lead + (1,))
+        rgb = rgb.reshape(lead + (3,))
+        vis = vis.reshape(lead + (1,))
+        feature = feature.reshape(lead + (self.feature_channels,))
+        out = {
+            "rgb": rgb,
+            "density": density,
+            f"density_{self.category}": density,
+            "vis": vis,
+            "feature": feature,
+        }
+        if dsdf is not None:
+            # canonical-space SDF gradient, rendering-time only (no VJP)
+            out["dsdf"] = dsdf.reshape(lead + (3,))
+        return out
+
+    def field_kernel_ok(self, xyz) -> bool:
+        """Static eligibility of the multi-head field kernel: fused MLPs
+        on, single instance (codes fold into biases), appearance rows as
+        the only per-pair conditioning, no direction PE, sigmoid rgb, a
+        shared frequency ladder across the xyz embeddings."""
+        from lab4d_tpu.nnutils.base import _fused_enabled
+
         if not (
             _fused_enabled()
             and self.num_inst == 1
@@ -56,19 +112,7 @@ class FeatureNeRF(NeRF):
             and self.color_act  # sigmoid is baked into the kernel
             and xyz.ndim == 4
         ):
-            return None
-        from lab4d_tpu.ops.field_kernel import (
-            MAX_TILE, FieldCfg, fused_nerf_heads,
-        )
-
-        M, N, D = xyz.shape[:3]
-        spp = N * D
-        from lab4d_tpu.ops.field_kernel import MAX_TILE_GRAD, _pick_tile
-
-        if _pick_tile(spp, MAX_TILE) is None:
-            return None
-        if want_sdf_grad and _pick_tile(spp, MAX_TILE_GRAD) is None:
-            want_sdf_grad = False  # autodiff fallback in compute_jacobian
+            return False
         # all xyz embeddings must share one frequency ladder (prefixes of
         # the color bands)
         fb_c = self.pos_embedding_color.freq_bands
@@ -78,11 +122,18 @@ class FeatureNeRF(NeRF):
             if n <= 0 or n > len(fb_c) or not np.allclose(
                 pe.freq_bands, fb_c[:n]
             ):
-                return None
+                return False
+        return True
+
+    def pack_field_nets(self, x2, frame_id, inst_id, sched, train, M):
+        """Assemble (nets, cfg, appr_rows, win_b, win_c, ibeta) for the
+        field megakernel: const-folded weight/bias lists per head plus the
+        static FieldCfg (caller must have checked field_kernel_ok)."""
+        from lab4d_tpu.ops.field_kernel import FieldCfg
 
         alpha = None if sched is None else sched.get("alpha")
         beta_prob = None if sched is None else sched.get("beta_prob")
-        x2 = xyz.reshape(-1, 3)
+        fb_c = self.pos_embedding_color.freq_bands
 
         def params_of(cond_mlp, pe, use_alpha=True):
             return cond_mlp(
@@ -138,39 +189,8 @@ class FeatureNeRF(NeRF):
         appr = self.appr_embedding.get_vals(frame_id).reshape(M, -1)
         win_b = self.pos_embedding.get_window(alpha)
         win_c = self.pos_embedding_color.get_window(alpha)
-
         ibeta = jnp.exp(self.logibeta).reshape(1, 1)
-        dsdf = None
-        if want_sdf_grad:
-            from lab4d_tpu.ops.field_kernel import fused_nerf_heads_grad
-
-            density, rgb, vis, feature, dsdf = fused_nerf_heads_grad(
-                x2, None, appr, win_b, win_c, nets, ibeta, cfg, spp
-            )
-        else:
-            density, rgb, vis, feature = fused_nerf_heads(
-                x2, None, appr, win_b, win_c, nets, ibeta, cfg, spp
-            )
-
-        # the kernel emits final quantities: VolSDF density, sigmoid rgb,
-        # L2-normalized features — as separate (P, C) outputs, so these
-        # reshapes are free bitcasts
-        lead = xyz.shape[:-1]
-        density = density.reshape(lead + (1,))
-        rgb = rgb.reshape(lead + (3,))
-        vis = vis.reshape(lead + (1,))
-        feature = feature.reshape(lead + (self.feature_channels,))
-        out = {
-            "rgb": rgb,
-            "density": density,
-            f"density_{self.category}": density,
-            "vis": vis,
-            "feature": feature,
-        }
-        if dsdf is not None:
-            # canonical-space SDF gradient, rendering-time only (no VJP)
-            out["dsdf"] = dsdf.reshape(lead + (3,))
-        return out
+        return nets, cfg, appr, win_b, win_c, ibeta
 
     def query_field(self, samples_dict, sched=None, train=True, flow_thresh=None):
         feat_dict, deltas, aux_dict = super().query_field(

@@ -229,6 +229,14 @@ class NeRF(nn.Module):
         None = use the per-module path."""
         return None
 
+    # NOTE: a fused warp+field megakernel (skinning warp as an in-kernel
+    # prologue to the field heads) was built and measured in round 3 and
+    # DELETED: the warp tile's quaternion math is Mosaic-hostile (fused
+    # fwd 8.95 ms vs 5.81 + ~1.3 separate; the warp-only backward kernel
+    # ran at 11.9 ms standalone vs ~2.7 in XLA), and VMEM pressure forced
+    # 512/256-point tiles. The warp stays in XLA where it is matmul-form
+    # and fuses well; see docs/performance.md "Fused warp+field kernel".
+
     # ----------------------------------------------------------- ray queries
 
     def get_samples(self, Kinv, batch, train: bool = True):

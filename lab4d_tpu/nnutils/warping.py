@@ -174,14 +174,6 @@ class SkinningWarp(IdentityWarp):
             articulation = rest_articulation
             frame_id = None
 
-        # fully-fused path: bone coords + delta MLP + softmax + DQ blend in
-        # one Pallas pass (ops/warp_kernel.py)
-        kernel_out = self.kernel_warp(
-            xyz, articulation, se3, frame_id, inst_id
-        )
-        if kernel_out is not None:
-            return kernel_out
-
         # articulation stays per-pair (M, B, 4); get_bone_coords applies it
         # to the (M, N, D, 3) samples as a batched matmul without
         # materializing sample-resolution quaternion arrays
@@ -209,78 +201,6 @@ class SkinningWarp(IdentityWarp):
                 delta_skin**2, axis=-1, keepdims=True
             )
         return out, warp_dict
-
-    def use_warp_kernel(self, xyz) -> bool:
-        """Whether the fused warp kernel covers this configuration.
-
-        Off by default (LAB4D_WARP_KERNEL=1 enables): after the matmul-form
-        rewrites, the jnp warp is already faster than the Mosaic kernel at
-        these shapes (lane-granularity quaternion slices dominate), and the
-        jax.vjp-derived backward holds too many residuals per tile."""
-        import os
-
-        from lab4d_tpu.nnutils.base import _fused_enabled
-
-        if os.environ.get("LAB4D_WARP_KERNEL", "0") != "1":
-            return False
-        if not _fused_enabled() or xyz.ndim != 4:
-            return False
-        sm = self.skinning_model
-        if not sm.delta_skin or sm.num_freq_xyz != 0 or sm.num_inst != 1:
-            return False
-        # kernel hardcodes the 3-matmul chain: D=2 + head, no active skips
-        if sm.delta_field.D != 2 or any(
-            s < sm.delta_field.D for s in sm.delta_field.skips
-        ):
-            return False
-        from lab4d_tpu.ops.warp_kernel import MAX_TILE, ROW_W, _pick_tile
-
-        B = sm.num_coords
-        if max(3 * B, 4 * B) > ROW_W:
-            return False
-        spp = xyz.shape[1] * xyz.shape[2]
-        return _pick_tile(spp, MAX_TILE) is not None
-
-    def kernel_warp(self, xyz, articulation, se3, frame_id, inst_id):
-        """Run the fused skinning warp; None when unsupported."""
-        if not self.use_warp_kernel(xyz):
-            return None
-        from lab4d_tpu.ops.warp_kernel import fused_skin_warp, pack_pair_rows
-        from lab4d_tpu.utils.quat import (
-            dual_quaternion_to_quaternion_translation,
-        )
-
-        sm = self.skinning_model
-        M = xyz.shape[0]
-        spp = xyz.shape[1] * xyz.shape[2]
-
-        # time rows (per pair) -> first-layer fold of the delta MLP
-        if frame_id is None:
-            t_rows = jnp.broadcast_to(
-                sm.time_embedding.mean_embedding().reshape(1, -1),
-                (M, sm.time_embedding.out_channels),
-            )
-        else:
-            t_rows = sm.time_embedding(frame_id).reshape(M, -1)
-        dummy = jnp.zeros((M, 1, 1, 3 * sm.num_coords))
-        weights, biases, row_adds = sm.delta_field(
-            dummy, inst_id, row_code=t_rows, return_params=True
-        )
-        u = row_adds[0]  # (M, W1)
-
-        q, t = dual_quaternion_to_quaternion_translation(articulation)
-        rows = pack_pair_rows(q, t, sm.get_gauss(), u, se3[0], se3[1])
-        wb = [weights[0], biases[0], weights[1], biases[1],
-              weights[2], biases[2]]
-        out = fused_skin_warp(
-            xyz.reshape(-1, 3), rows, wb, sm.num_coords, spp
-        )
-        lead = xyz.shape[:-1]
-        warp_dict: Dict[str, jnp.ndarray] = {
-            "skin_entropy": out[:, 3:4].reshape(lead + (1,)),
-            "delta_skin": out[:, 4:5].reshape(lead + (1,)),
-        }
-        return out[:, :3].reshape(lead + (3,)), warp_dict
 
     def get_gauss_density(self, xyz, bone2obj=None):
         """Bone-sphere density at points (warping.py:355-387): hard max over

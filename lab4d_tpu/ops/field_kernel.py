@@ -97,19 +97,47 @@ def _embed_bwd(dX, x, sin_t, cos_t, n_freqs, window, fcol):
 
 
 # ------------------------------------------------------------------- MLPs
+#
+# Weight lists arrive in SPLIT layout (see _split_nets): a skip layer
+# holds three entries [W_x, W_h, b] and computes x @ W_x + h @ W_h + b
+# instead of concat([x, h]) @ W — the 191/167-wide concat layers cost
+# ~18% of the fwd matmul chain (odd-K padding + materializing the concat;
+# measured by bench_kernel_anatomy, docs/performance.md).
+
+
+def _num_layers(wb_len: int, skips) -> int:
+    """Layer count of a split-layout weight list (skip layers take three
+    entries, others two)."""
+    n = wb_len // 2
+    while n > 0 and 2 * n + sum(1 for s in skips if s < n) != wb_len:
+        n -= 1
+    assert n > 0, (wb_len, skips)
+    return n
+
+
+def _layer_starts(wb_len: int, skips):
+    n = _num_layers(wb_len, skips)
+    starts, pos = [], 0
+    for i in range(n):
+        starts.append(pos)
+        pos += 3 if i in skips else 2
+    return n, starts
 
 
 def _mlp_fwd(x, wb, skips, final_act, keep_inputs=False):
-    """wb: flat [W0, b0, W1, b1, ...]; returns (out, layer_inputs|None)."""
-    n = len(wb) // 2
+    """Split-layout MLP forward; returns (out, layer_inputs|None) where
+    layer_inputs[i] is layer i's hidden operand (x re-enters via W_x)."""
+    n, starts = _layer_starts(len(wb), skips)
     h = x
     inputs = [] if keep_inputs else None
     for i in range(n):
-        if i in skips:
-            h = jnp.concatenate([x, h], axis=-1)
         if keep_inputs:
             inputs.append(h)
-        h = _dot(h, wb[2 * i]) + wb[2 * i + 1]
+        p = starts[i]
+        if i in skips:
+            h = _dot(x, wb[p]) + _dot(h, wb[p + 1]) + wb[p + 2]
+        else:
+            h = _dot(h, wb[p]) + wb[p + 1]
         if i < n - 1:
             h = jnp.maximum(h, 0.0)
     if final_act:
@@ -118,28 +146,28 @@ def _mlp_fwd(x, wb, skips, final_act, keep_inputs=False):
 
 
 def _mlp_bwd(g, x, out, inputs, wb, skips, final_act):
-    """Backprop one MLP; returns (dX, [dW0, db0, ...])."""
-    n = len(wb) // 2
-    grads = [None] * (2 * n)
+    """Backprop one split-layout MLP; returns (dX, grads) with grads in
+    the same flat split layout as wb."""
+    n, starts = _layer_starts(len(wb), skips)
+    grads = [None] * len(wb)
     if final_act:
         g = g * (out > 0.0)
-
-    def relu_out(i):
-        nxt = inputs[i + 1]
-        if (i + 1) in skips:
-            return nxt[:, x.shape[1]:]
-        return nxt
 
     dX = jnp.zeros_like(x)
     for i in reversed(range(n)):
         if i < n - 1:
-            g = g * (relu_out(i) > 0.0)
-        grads[2 * i] = _dot_tn(inputs[i], g)
-        grads[2 * i + 1] = jnp.sum(g, axis=0, keepdims=True)
-        g = _dot_nt(g, wb[2 * i])
+            g = g * (inputs[i + 1] > 0.0)
+        p = starts[i]
         if i in skips:
-            dX = dX + g[:, : x.shape[1]]
-            g = g[:, x.shape[1]:]
+            grads[p] = _dot_tn(x, g)
+            grads[p + 1] = _dot_tn(inputs[i], g)
+            grads[p + 2] = jnp.sum(g, axis=0, keepdims=True)
+            dX = dX + _dot_nt(g, wb[p])
+            g = _dot_nt(g, wb[p + 1])
+        else:
+            grads[p] = _dot_tn(inputs[i], g)
+            grads[p + 1] = jnp.sum(g, axis=0, keepdims=True)
+            g = _dot_nt(g, wb[p])
     return dX + g, grads
 
 
@@ -161,13 +189,17 @@ def _forward_tile(x, dir_extra, appr_row, win_b, win_c, nets, cfg, fcol, ibeta):
     featc, in_c = _mlp_fwd(Xc, nets["color"], cfg.skips_color, True, True)
     hc = feat + featc
 
-    parts = [hc]
+    # rgb1 weights are per-segment blocks [W_hc, (W_dir), (W_appr), b]:
+    # the appearance row's contribution is a single (1, W/2) row matmul
+    # broadcast as a bias instead of a (T, Ca) broadcast + concat
+    rgb1 = nets["rgb1"]
+    p = 0
+    acc = _dot(hc, rgb1[p]); p += 1
     if dir_extra is not None:
-        parts.append(dir_extra)
+        acc = acc + _dot(dir_extra, rgb1[p]); p += 1
     if appr_row is not None:
-        parts.append(jnp.broadcast_to(appr_row, (T, appr_row.shape[-1])))
-    rgb_in = jnp.concatenate(parts, axis=-1)
-    rgb_h = jnp.maximum(_dot(rgb_in, nets["rgb1"][0]) + nets["rgb1"][1], 0.0)
+        acc = acc + _dot(appr_row, rgb1[p]); p += 1
+    rgb_h = jnp.maximum(acc + rgb1[p], 0.0)
     rgb = _dot(rgb_h, nets["rgb2"][0]) + nets["rgb2"][1]
 
     Xv = _embed(x, sin_t, cos_t, cfg.nf_vis, None)
@@ -194,7 +226,7 @@ def _forward_tile(x, dir_extra, appr_row, win_b, win_c, nets, cfg, fcol, ibeta):
         ang=ang, sin_t=sin_t, cos_t=cos_t,
         Xb=Xb, in_b=in_b, feat=feat,
         Xc=Xc, in_c=in_c, featc=featc,
-        rgb_in=rgb_in, rgb_h=rgb_h,
+        rgb_h=rgb_h,
         Xv=Xv, in_v=in_v, vis=vis,
         Xf=Xf, in_f=in_f, f16=f16,
         sdf=sdf, rgb_act=rgb_act, f16n=f16n, fnorm=fnorm, ib=ib,
@@ -202,7 +234,8 @@ def _forward_tile(x, dir_extra, appr_row, win_b, win_c, nets, cfg, fcol, ibeta):
     return out, cache
 
 
-def _backward_tile(g, x, cache, nets, cfg, win_b, win_c, has_dir, has_appr, fcol):
+def _backward_tile(g, x, cache, nets, cfg, win_b, win_c, dir_extra,
+                   appr_row, fcol):
     """Backprop the per-head gradients; returns (dx, ddir, dappr,
     net_grads, dibeta)."""
     C = x.shape[1]
@@ -226,25 +259,28 @@ def _backward_tile(g, x, cache, nets, cfg, win_b, win_c, has_dir, has_appr, fcol
     denom = jnp.maximum(fnorm, 1e-6)
     g_f16 = (g_f16n - f16n * jnp.sum(f16n * g_f16n, -1, keepdims=True)) / denom
 
-    # rgb head backward
+    # rgb head backward (segment form mirrors _forward_tile's rgb1 fold)
     d_rgb_h = _dot_nt(g_rgb, nets["rgb2"][0])
     g_rgb2 = [_dot_tn(cache["rgb_h"], g_rgb), jnp.sum(g_rgb, 0, keepdims=True)]
     d_rgb_h = d_rgb_h * (cache["rgb_h"] > 0.0)
-    d_rgb_in = _dot_nt(d_rgb_h, nets["rgb1"][0])
-    g_rgb1 = [_dot_tn(cache["rgb_in"], d_rgb_h),
-              jnp.sum(d_rgb_h, 0, keepdims=True)]
-
-    W = cache["feat"].shape[-1]
-    d_hc = d_rgb_in[:, :W]
-    off = W
+    hc = cache["feat"] + cache["featc"]
+    rgb1 = nets["rgb1"]
+    g_rgb1 = [None] * len(rgb1)
+    gsum = jnp.sum(d_rgb_h, axis=0, keepdims=True)
+    p = 0
+    d_hc = _dot_nt(d_rgb_h, rgb1[p])
+    g_rgb1[p] = _dot_tn(hc, d_rgb_h); p += 1
     ddir = None
-    if has_dir:
-        cd = x.shape[1]  # dir extra is raw (T, 3)
-        ddir = d_rgb_in[:, off : off + cd]
-        off += cd
+    if dir_extra is not None:
+        ddir = _dot_nt(d_rgb_h, rgb1[p])
+        g_rgb1[p] = _dot_tn(dir_extra, d_rgb_h); p += 1
     dappr = None
-    if has_appr:
-        dappr = jnp.sum(d_rgb_in[:, off:], axis=0, keepdims=True)
+    if appr_row is not None:
+        # appr is one row broadcast over the tile: its weight grad is the
+        # outer product appr_row^T (sum_rows d_rgb_h)
+        dappr = _dot_nt(gsum, rgb1[p])
+        g_rgb1[p] = _dot_tn(appr_row, gsum); p += 1
+    g_rgb1[p] = gsum
 
     # sdf head backward
     d_feat = _dot_nt(g_sdf, nets["sdf"][0]) + d_hc
@@ -282,6 +318,73 @@ def _backward_tile(g, x, cache, nets, cfg, win_b, win_c, has_dir, has_appr, fcol
 
 
 # ------------------------------------------------------------ pallas glue
+
+
+_NET_SKIPS = dict(base="skips_base", color="skips_color", vis="skips_vis",
+                  feat="skips_feat")
+
+
+def _split_nets(nets, cfg, dir_dim, appr_dim):
+    """Host-side: rewrite every skip-layer weight (Cx+W, Wout) into a
+    (W_x, W_h) pair, and the rgb1 input weight into per-segment blocks
+    [W_hc, (W_dir), (W_appr)], so the kernel never concatenates."""
+    out = {}
+    for name, arrs in nets.items():
+        if name in _NET_SKIPS:
+            skips = getattr(cfg, _NET_SKIPS[name])
+            n = len(arrs) // 2
+            xdim = arrs[0].shape[0]
+            lst = []
+            for i in range(n):
+                W, b = arrs[2 * i], arrs[2 * i + 1]
+                if i in skips and i < n:
+                    lst += [W[:xdim], W[xdim:], b]
+                else:
+                    lst += [W, b]
+            out[name] = lst
+        elif name == "rgb1":
+            W, b = arrs
+            hc_w = W.shape[0] - dir_dim - appr_dim
+            segs = [W[:hc_w]]
+            off = hc_w
+            if dir_dim:
+                segs.append(W[off : off + dir_dim]); off += dir_dim
+            if appr_dim:
+                segs.append(W[off : off + appr_dim]); off += appr_dim
+            out[name] = segs + [b]
+        else:
+            out[name] = list(arrs)
+    return out
+
+
+def _merge_net_grads(dnets, nets, cfg):
+    """Inverse of _split_nets on gradients: concat split blocks back to
+    the caller's original weight shapes."""
+    out = {}
+    for name, arrs in nets.items():
+        g = dnets[name]
+        if name in _NET_SKIPS:
+            skips = getattr(cfg, _NET_SKIPS[name])
+            n = len(arrs) // 2
+            lst, pos = [], 0
+            for i in range(n):
+                if i in skips and i < n:
+                    lst += [jnp.concatenate([g[pos], g[pos + 1]], 0),
+                            g[pos + 2]]
+                    pos += 3
+                else:
+                    lst += [g[pos], g[pos + 1]]
+                    pos += 2
+            out[name] = lst
+        elif name == "rgb1":
+            out[name] = [jnp.concatenate(g[:-1], 0), g[-1]]
+        else:
+            out[name] = list(g)
+    for name, arrs in nets.items():
+        out[name] = [
+            ga.reshape(orig.shape) for ga, orig in zip(out[name], arrs)
+        ]
+    return out
 
 
 def _flatten_nets(nets):
@@ -368,7 +471,10 @@ def _bwd_kernel(x_ref, gd_ref, gr_ref, gv_ref, gf_ref, fcol_ref, ibeta_ref,
     )
     dx, ddir, dappr, net_grads, dibeta = _backward_tile(
         (gd_ref[:], gr_ref[:], gv_ref[:], gf_ref[:]),
-        x, cache, nets, cfg, win_b, win_c, has_dir, has_appr, fcol,
+        x, cache, nets, cfg, win_b, win_c,
+        None if dir_ref is None else dir_ref[:],
+        None if appr_ref is None else appr_ref[0:1],
+        fcol,
     )
 
     oi = 0
@@ -433,7 +539,12 @@ def _run_fwd(x, dir_extra, appr_rows, win_b, win_c, nets, ibeta, cfg, spp):
     assert tile is not None and P % tile == 0
     tiles_per_pair = spp // tile
     grid = (P // tile,)
-    flat, order = _flatten_nets(nets)
+    snets = _split_nets(
+        nets, cfg,
+        0 if dir_extra is None else dir_extra.shape[1],
+        0 if appr_rows is None else appr_rows.shape[1],
+    )
+    flat, order = _flatten_nets(snets)
 
     fcol = jnp.asarray(
         np.repeat(np.asarray(cfg.freqs, np.float32), x.shape[1])[None]
@@ -499,6 +610,12 @@ def _vjp_fwd(x, dir_extra, appr_rows, win_b, win_c, nets, ibeta, cfg, spp):
 
 def _vjp_bwd(cfg, spp, res, g):
     x, dir_extra, appr_rows, win_b, win_c, nets, ibeta = res
+    return _run_bwd(x, g, dir_extra, appr_rows, win_b, win_c, nets, ibeta,
+                    cfg, spp)
+
+
+def _run_bwd(x, g, dir_extra, appr_rows, win_b, win_c, nets, ibeta, cfg,
+             spp):
     P = x.shape[0]
     # the backward holds 4 nets' activations + grad accumulators in VMEM:
     # subdivide each pair across tiles until it fits
@@ -507,7 +624,12 @@ def _vjp_bwd(cfg, spp, res, g):
         tile //= 2
     tiles_per_pair = spp // tile
     grid = (P // tile,)
-    flat, order = _flatten_nets(nets)
+    snets = _split_nets(
+        nets, cfg,
+        0 if dir_extra is None else dir_extra.shape[1],
+        0 if appr_rows is None else appr_rows.shape[1],
+    )
+    flat, order = _flatten_nets(snets)
 
     fcol = jnp.asarray(
         np.repeat(np.asarray(cfg.freqs, np.float32), x.shape[1])[None]
@@ -600,10 +722,8 @@ def _vjp_bwd(cfg, spp, res, g):
         dappr = outs[oi][::8]; oi += 1
     grads_flat = outs[oi:-1]
     dibeta = outs[-1].reshape(ibeta.shape)
-    dnets = {}
-    for (name, i), ga in zip(order, grads_flat):
-        orig = nets[name][i]
-        dnets.setdefault(name, []).append(ga.reshape(orig.shape))
+    dnets = _merge_net_grads(_unflatten_nets(list(grads_flat), order),
+                             nets, cfg)
     dwb = None if win_b is None else jnp.zeros_like(win_b)
     dwc = None if win_c is None else jnp.zeros_like(win_c)
     return dx, ddir, dappr, dwb, dwc, dnets, dibeta
@@ -690,26 +810,28 @@ def _embed_tangents(x, sin_t, cos_t, n_freqs, window, fcol):
     return jnp.concatenate(rows, axis=0)
 
 
-def _mlp_jvp(t, t_embed, x_dim, inputs, out, wb, skips, final_act, reps=3):
-    """Forward-mode tangent through _mlp_fwd. t/t_embed: (reps*T, E)
-    stacked tangents (t_embed re-enters at skip layers); relu masks come
-    from the cached primal layer inputs (T, .), tiled across the stack."""
-    n = len(wb) // 2
+def _mlp_jvp(t, t_embed, inputs, out, wb, skips, final_act, reps=3):
+    """Forward-mode tangent through the split-layout _mlp_fwd. t/t_embed:
+    (reps*T, E) stacked tangents (t_embed re-enters at skip layers via
+    W_x); relu masks come from the cached primal layer operands (T, .),
+    tiled across the stack."""
+    n, starts = _layer_starts(len(wb), skips)
 
     def relu_mask(i):
         if i == n - 1:
             m = (out > 0.0) if final_act else None
         else:
-            nxt = inputs[i + 1]
-            m = (nxt[:, x_dim:] if (i + 1) in skips else nxt) > 0.0
+            m = inputs[i + 1] > 0.0
         if m is None:
             return None
         return jnp.concatenate([m.astype(jnp.float32)] * reps, axis=0)
 
     for i in range(n):
+        p = starts[i]
         if i in skips:
-            t = jnp.concatenate([t_embed, t], axis=-1)
-        t = _dot(t, wb[2 * i])
+            t = _dot(t_embed, wb[p]) + _dot(t, wb[p + 1])
+        else:
+            t = _dot(t, wb[p])
         m = relu_mask(i)
         if m is not None:
             t = t * m
@@ -752,7 +874,7 @@ def _fwd_grad_kernel(x_ref, fcol_ref, ibeta_ref, *refs, order, cfg, has_dir,
         x, cache["sin_t"], cache["cos_t"], cfg.nf_base, win_b, fcol
     )
     t = _mlp_jvp(
-        tb, tb, cache["Xb"].shape[1], cache["in_b"], cache["feat"],
+        tb, tb, cache["in_b"], cache["feat"],
         nets["base"], cfg.skips_base, True,
     )
     d = _dot(t, nets["sdf"][0])  # (3T, 1)
@@ -775,7 +897,12 @@ def fused_nerf_heads_grad(x, dir_extra, appr_rows, win_b, win_c, nets,
     assert tile is not None and P % tile == 0
     tiles_per_pair = spp // tile
     grid = (P // tile,)
-    flat, order = _flatten_nets(nets)
+    snets = _split_nets(
+        nets, cfg,
+        0 if dir_extra is None else dir_extra.shape[1],
+        0 if appr_rows is None else appr_rows.shape[1],
+    )
+    flat, order = _flatten_nets(snets)
 
     fcol = jnp.asarray(
         np.repeat(np.asarray(cfg.freqs, np.float32), x.shape[1])[None]

@@ -256,3 +256,45 @@ def test_eval_path_stays_unfused():
 
     flag = model.apply(variables, None, method=probe)
     assert float(flag) == 0.0
+
+
+def test_fused_kernel_train_parity(monkeypatch):
+    """The fused field-megakernel train path (pallas interpret mode on
+    CPU) must reproduce the jnp decomposition's losses and gradients.
+    This is the default train pipeline for articulated fg fields on TPU
+    (FeatureNeRF.query_all_heads + the fused MLP kernels)."""
+    import lab4d_tpu.nnutils.base as base_mod
+
+    model, batch = make_model_and_batch("fg", "skel-quad")
+    sched = compute_sched(100)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        RNGS, batch, sched, train=True
+    )
+
+    def loss_fn(p):
+        ld = model.apply(
+            {"params": p}, batch, sched, train=True,
+            rngs={"aux": jax.random.PRNGKey(3), "swap": jax.random.PRNGKey(4)},
+        )
+        return sum(jax.tree.leaves(ld)), ld
+
+    (t0, ld0), g0 = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"]
+    )
+    monkeypatch.setattr(base_mod, "_fused_enabled", lambda: True)
+    (t1, ld1), g1 = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"]
+    )
+    for k in ld0:
+        np.testing.assert_allclose(
+            float(ld0[k]), float(ld1[k]), atol=1e-4, rtol=1e-3, err_msg=k
+        )
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g0),
+        jax.tree_util.tree_leaves_with_path(g1),
+    ):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3, rtol=5e-3,
+            err_msg=jax.tree_util.keystr(pa),
+        )
