@@ -52,6 +52,58 @@ def wait_for_healthy_backend(budget_s: float = 2400.0) -> bool:
         time.sleep(120)
 
 
+def hardware_probe(n: int = 20) -> float:
+    """Fixed-protocol speed probe: ms per 4096^2 f32 matmul.
+
+    The tunneled v5e's effective speed moves between hardware windows
+    (docs/performance.md measured a 1.6x swing on identical code); every
+    bench line carries this figure so window-to-window drift in the
+    workload numbers is normalizable."""
+    import jax
+    import jax.numpy as jnp
+
+    k = jax.random.PRNGKey(0)
+    a = jax.random.normal(k, (4096, 4096), jnp.float32)
+
+    @jax.jit
+    def chain(x):
+        for _ in range(4):
+            x = x @ a
+        return x
+
+    out = chain(a)
+    _ = float(out[0, 0])  # host readback is the only reliable axon fence
+    t0 = time.perf_counter()
+    out = a
+    for _ in range(n):
+        out = chain(out)
+    _ = float(out[0, 0])
+    return (time.perf_counter() - t0) / (4 * n) * 1e3
+
+
+def render_bench() -> dict:
+    """Render fps @512^2, full channel set, via the standalone harness
+    (scripts/perf/bench_render.py) in a subprocess. Returns {} on failure
+    so a render-side breakage cannot take down the train metric."""
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "perf", "bench_render.py")
+    try:
+        out = subprocess.run(
+            [sys.executable, script, "512", "512", "3"],
+            capture_output=True, text=True, timeout=1200,
+        )
+        for line in reversed(out.stdout.strip().splitlines()):
+            try:
+                d = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "fps" in d:
+                return d
+    except (subprocess.TimeoutExpired, OSError):
+        pass
+    return {}
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -59,6 +111,8 @@ def main():
 
     from lab4d_tpu.engine.schedules import compute_sched
     from __graft_entry__ import _build
+
+    probe_ms = hardware_probe()
 
     imgs, px = 128, 16
     model, batch = _build(M=imgs, N=px, num_frames=64, fg_motion="skel-quad")
@@ -117,6 +171,9 @@ def main():
     dt = time.perf_counter() - t0
 
     rays_per_sec = rays * iters / dt
+    # driver metric FIRST (one parseable line), extra metrics after;
+    # probe_matmul_ms is the fixed-protocol hardware-window probe that
+    # makes numbers comparable across windows (docs/performance.md)
     print(
         json.dumps(
             {
@@ -124,9 +181,30 @@ def main():
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+                "probe_matmul_ms": round(probe_ms, 3),
             }
-        )
+        ),
+        flush=True,
     )
+
+    rb = render_bench()
+    if rb:
+        # reference render baseline: ~164k rays/s on a 3090 (BASELINE.md)
+        print(
+            json.dumps(
+                {
+                    "metric": "render_fps_512_full_channels",
+                    "value": rb.get("fps"),
+                    "unit": "fps",
+                    "vs_baseline": round(
+                        rb.get("rays_per_sec", 0.0) / 164_000.0, 3
+                    ),
+                    "ms_per_frame": rb.get("ms_per_frame"),
+                    "probe_matmul_ms": round(probe_ms, 3),
+                }
+            ),
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

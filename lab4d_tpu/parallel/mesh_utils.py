@@ -138,10 +138,23 @@ def init_distributed():
     """Multi-host init (no-op on single host).
 
     Mirrors the reference's torch.distributed.init_process_group
-    (train.py:28-33) — on TPU pods the coordinator/topology comes from the
-    environment, so this is a single call guarded by an env flag.
+    (train.py:28-33). Two modes, both behind LAB4D_MULTIHOST=1:
+      * TPU pods: coordinator/topology comes from the environment —
+        bare jax.distributed.initialize().
+      * explicit rendezvous (the reference's env:// analog, also used by
+        the 2-process CPU smoke test): LAB4D_COORDINATOR=host:port,
+        LAB4D_NUM_PROCESSES, LAB4D_PROCESS_ID.
     """
     import os
 
-    if os.environ.get("LAB4D_MULTIHOST", "0") == "1":
+    if os.environ.get("LAB4D_MULTIHOST", "0") != "1":
+        return
+    coord = os.environ.get("LAB4D_COORDINATOR")
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["LAB4D_NUM_PROCESSES"]),
+            process_id=int(os.environ["LAB4D_PROCESS_ID"]),
+        )
+    else:
         jax.distributed.initialize()
