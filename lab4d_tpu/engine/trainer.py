@@ -14,7 +14,7 @@ import os
 import shutil
 import time
 from functools import partial
-from typing import Dict, Optional
+from typing import Dict, NamedTuple, Optional
 
 import numpy as np
 import jax
@@ -69,6 +69,32 @@ def param_labels(params, freeze_bone_len: bool = False):
         else:
             labels[path] = "base"
     return flax.traverse_util.unflatten_dict(labels)
+
+
+class ClipState(NamedTuple):
+    grad_norm: jnp.ndarray  # pre-clip global norm of the last update
+
+
+def clip_with_norm(max_norm: float) -> optax.GradientTransformation:
+    """optax.clip_by_global_norm with the norm exposed in its state, so
+    the train step can log it without recomputing a ~100-leaf
+    optax.global_norm (a second full reduce pass per step)."""
+
+    def init_fn(params):
+        del params
+        return ClipState(grad_norm=jnp.zeros((), jnp.float32))
+
+    def update_fn(updates, state, params=None):
+        del params
+        gnorm = optax.global_norm(updates)
+        # same semantics as optax.clip_by_global_norm (incl. nan passthru)
+        scale = jnp.where(gnorm < max_norm, 1.0, max_norm / gnorm)
+        return (
+            jax.tree.map(lambda g: g * scale, updates),
+            ClipState(grad_norm=gnorm),
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def onecycle_linear(step, total_steps, peak, pct_start, div_factor,
@@ -499,8 +525,14 @@ class Trainer:
         labels = param_labels(
             self.params, freeze_bone_len=opts.get("freeze_bone_len", False)
         )
+        # clip_with_norm exposes the pre-clip global norm in its state so
+        # the train step logs it without a second ~100-leaf global_norm
+        # pass. (A flat-vector AdamW over one concatenated param vector
+        # was built and measured SLOWER by 2.5 ms/step: reshaping ~100
+        # (8,128)-tiled leaves to 1-D costs a relayout copy each way —
+        # docs/performance.md.)
         self.tx = optax.chain(
-            optax.clip_by_global_norm(5.0),
+            clip_with_norm(5.0),
             optax.multi_transform(
                 {
                     "base": make_adamw(lr_base),
@@ -549,11 +581,11 @@ class Trainer:
             (total, loss_dict), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(params)
-            grad_norm = optax.global_norm(grads)
             updates, new_opt_state = tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
             loss_dict["total"] = total
-            loss_dict["grad_norm"] = grad_norm
+            # pre-clip global norm computed once, inside clip_with_norm
+            loss_dict["grad_norm"] = new_opt_state[0].grad_norm
             return new_params, new_opt_state, loss_dict
 
         if total_shards > 1:

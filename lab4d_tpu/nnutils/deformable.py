@@ -103,6 +103,70 @@ class Deformable(FeatureNeRF):
         cyc_dict.update(warp_dict)
         return cyc_dict
 
+    def compute_flow_cycle(
+        self, hxy, xyz, xyz_t, frame_id, inst_id, field2cam, Kinv,
+        samples_dict, flow_thresh=None,
+    ):
+        """Fused flow + cycle warps: both forward-warp the SAME canonical
+        points with the SAME cached skin weights (prepare_forward_warp)
+        and differ only in the per-bone SE(3)s (t vs flipped-t, composed
+        with rest^-1), so the softmax, hemisphere anchor, blend matmuls
+        and quaternion apply run once on pair-stacked arrays
+        (dual_quaternion_skinning_pair). Numerically identical to the
+        separate compute_flow + cycle_loss path (tests/test_flow_cycle.py).
+        Parity: nerf.py:948-997 + deformable.py:173-198."""
+        fwd_skin = None if samples_dict is None else samples_dict.get("fwd_skin")
+        if type(self.warp) is not SkinningWarp or fwd_skin is None:
+            return super().compute_flow_cycle(
+                hxy, xyz, xyz_t, frame_id, inst_id, field2cam, Kinv,
+                samples_dict, flow_thresh=flow_thresh,
+            )
+        from lab4d_tpu.nnutils.nerf import flip_pair
+        from lab4d_tpu.utils.geom import (
+            Kmatinv,
+            dual_quaternion_skinning_pair,
+            pinhole_projection,
+            safe_norm,
+        )
+        from lab4d_tpu.utils.loss import cross_entropy_skin_loss
+        from lab4d_tpu.utils.quat import (
+            dual_quaternion_inverse,
+            dual_quaternion_mul,
+        )
+
+        skin, delta = fwd_skin
+        rest = samples_dict["rest_articulation"]
+        t_art = samples_dict["t_articulation"]
+        t_next = (flip_pair(t_art[0]), flip_pair(t_art[1]))
+        rest_next = (flip_pair(rest[0]), flip_pair(rest[1]))
+        se3_cyc = dual_quaternion_mul(t_art, dual_quaternion_inverse(rest))
+        se3_flow = dual_quaternion_mul(
+            t_next, dual_quaternion_inverse(rest_next)
+        )
+        skin_prob = jax.nn.softmax(skin, axis=-1)
+        xyz_cyc, xyz_next = dual_quaternion_skinning_pair(
+            se3_cyc, se3_flow, xyz, skin_prob
+        )
+
+        cyc_dict = {
+            "cyc_dist": safe_norm(xyz_cyc - xyz_t),
+            "skin_entropy": cross_entropy_skin_loss(skin)[..., None],
+        }
+        if delta is not None:
+            cyc_dict["delta_skin"] = jnp.mean(delta**2, axis=-1, keepdims=True)
+
+        field2cam_next = (flip_pair(field2cam[0]), flip_pair(field2cam[1]))
+        Kinv_next = flip_pair(Kinv)
+        xyz_cam_next = self.field_to_cam(xyz_next, field2cam_next)
+        hxy_next = pinhole_projection(Kmatinv(Kinv_next), xyz_cam_next)
+        flow = (hxy_next - hxy[:, :, None])[..., :2]
+        xyz_valid = xyz_cam_next[..., -1:] > 1e-6
+        if flow_thresh is not None:
+            mag = jnp.linalg.norm(flow, axis=-1, keepdims=True)
+            xyz_valid = xyz_valid & (mag < float(flow_thresh))
+        flow = jnp.concatenate([flow, xyz_valid.astype(flow.dtype)], axis=-1)
+        return {"flow": flow}, cyc_dict
+
     def gauss_skin_consistency_loss(self, aabb, sched=None, nsample: int = 2048):
         """BCE-align Gaussian-bone density with the field's own density
         (deformable.py:200-236)."""

@@ -336,15 +336,16 @@ class NeRF(nn.Module):
 
         if train:
             samples_dict = self.prepare_forward_warp(xyz, inst_id, samples_dict)
-            flow_dict = self.compute_flow(
-                hxy, xyz, frame_id, inst_id, field2cam, Kinv, samples_dict,
-                flow_thresh=flow_thresh,
+            flow_dict, cyc_dict = self.compute_flow_cycle(
+                hxy, xyz, xyz_t, frame_id, inst_id, field2cam, Kinv,
+                samples_dict, flow_thresh=flow_thresh,
             )
             feat_dict.update(flow_dict)
-
-        cyc_dict = self.cycle_loss(
-            xyz, xyz_t, frame_id, inst_id, samples_dict=samples_dict, train=train
-        )
+        else:
+            cyc_dict = self.cycle_loss(
+                xyz, xyz_t, frame_id, inst_id, samples_dict=samples_dict,
+                train=train,
+            )
         for k in cyc_dict:
             if k in backwarp_dict:
                 feat_dict[k] = (cyc_dict[k] + backwarp_dict[k]) / 2
@@ -674,6 +675,24 @@ class NeRF(nn.Module):
     def cycle_loss(self, xyz, xyz_t, frame_id, inst_id, samples_dict=None, train=True):
         zeros = jnp.zeros_like(xyz[..., :1])
         return {"cyc_dist": zeros, "delta_skin": zeros, "skin_entropy": zeros}
+
+    def compute_flow_cycle(
+        self, hxy, xyz, xyz_t, frame_id, inst_id, field2cam, Kinv,
+        samples_dict, flow_thresh=None,
+    ):
+        """Training-time flow proposal + cycle loss. The base implementation
+        just runs the two sub-terms; Deformable overrides it to share one
+        stacked blend-skinning pass between them (they warp the same
+        canonical points with the same skin weights)."""
+        flow_dict = self.compute_flow(
+            hxy, xyz, frame_id, inst_id, field2cam, Kinv, samples_dict,
+            flow_thresh=flow_thresh,
+        )
+        cyc_dict = self.cycle_loss(
+            xyz, xyz_t, frame_id, inst_id, samples_dict=samples_dict,
+            train=True,
+        )
+        return flow_dict, cyc_dict
 
     def compute_eikonal(self, xyz, inst_id=None, sample_ratio=16, sched=None):
         """Subsampled eikonal loss in canonical space (nerf.py:416-453).

@@ -55,7 +55,15 @@ FieldCfg = collections.namedtuple(
 import os as _os
 
 MAX_TILE = int(_os.environ.get("LAB4D_MAX_TILE", 2048))
-MAX_TILE_BWD = int(_os.environ.get("LAB4D_MAX_TILE_BWD", 512))
+MAX_TILE_BWD = int(_os.environ.get("LAB4D_MAX_TILE_BWD", 1024))
+# Mosaic's default scoped-vmem budget (16 MB) caps the backward tile at
+# 512 points; v5e has 128 MB of VMEM, so raise the per-kernel budget and
+# let the tile sweep pick the winner (docs/performance.md)
+VMEM_LIMIT = int(_os.environ.get("LAB4D_KERNEL_VMEM_MB", 96)) * 1024 * 1024
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
 
 
 # --------------------------------------------------------------- embedding
@@ -599,6 +607,7 @@ def _run_fwd(x, dir_extra, appr_rows, win_b, win_c, nets, ibeta, cfg, spp):
             jax.ShapeDtypeStruct((P, c), jnp.float32) for c in OUT_DIMS
         ),
         interpret=_interpret(),
+        compiler_params=_compiler_params(),
     )(*args)
 
 
@@ -710,6 +719,7 @@ def _run_bwd(x, g, dir_extra, appr_rows, win_b, win_c, nets, ibeta, cfg,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
         interpret=_interpret(),
+        compiler_params=_compiler_params(),
     )(*args)
 
     oi = 0
@@ -955,6 +965,7 @@ def fused_nerf_heads_grad(x, dir_extra, appr_rows, win_b, win_c, nets,
             jax.ShapeDtypeStruct((P, c), jnp.float32) for c in out_dims
         ),
         interpret=_interpret(),
+        compiler_params=_compiler_params(),
     )(*args)
 
 

@@ -9,6 +9,8 @@ scan.
 from __future__ import annotations
 
 import os
+
+import numpy as np
 from typing import Dict, Optional
 
 import jax
@@ -104,7 +106,12 @@ def compute_weights(density: jnp.ndarray, deltas: jnp.ndarray):
     # lanes of every (8,128) tile; (M,N,D) keeps the D axis minor
     tau = deltas[..., 0] * density[..., 0]  # (M, N, D)
     alpha = 1.0 - jnp.exp(-tau)
-    cum = jnp.cumsum(tau, axis=-1)
+    if os.environ.get("LAB4D_CUMSUM_MM", "0") == "1":
+        D = tau.shape[-1]
+        tri = jnp.asarray(np.tril(np.ones((D, D), np.float32)).T)
+        cum = tau @ tri  # cum_i = sum_{j<=i} tau_j as one MXU pass
+    else:
+        cum = jnp.cumsum(tau, axis=-1)
     transmit_incl = jnp.exp(-cum)  # T_{i+1} = exp(-sum_{j<=i} tau_j)
     transmit_excl = jnp.concatenate(
         [jnp.ones_like(transmit_incl[..., :1]), transmit_incl[..., :-1]], axis=-1

@@ -186,6 +186,71 @@ def dual_quaternion_skinning(
     return out.reshape(shape)
 
 
+def dual_quaternion_skinning_pair(
+    dq_a: DualQuaternion,
+    dq_b: DualQuaternion,
+    pts: jnp.ndarray,
+    skin: jnp.ndarray,
+):
+    """Skin the SAME points with the SAME weights under TWO bone sets.
+
+    Exactly two dual_quaternion_skinning calls, but the argmax/one-hot
+    anchor, the sign matmul, the blend matmuls and the SoA quaternion
+    apply all run ONCE on arrays stacked along the pair axis — the train
+    step's cycle-consistency and flow warps share canonical points and
+    skin weights and differ only in the per-bone SE(3)s
+    (deformable.py:173-198 + nerf.py:948-997 in the reference), so this
+    halves the elementwise warp traffic of those two sites.
+
+    Args:
+        dq_a, dq_b: ((M,B,4), (M,B,4)) two per-bone SE(3) sets
+        pts: (M, ..., 3); skin: (M, ..., B) normalized weights
+    Returns:
+        (out_a, out_b): two (M, ..., 3) skinned point sets
+    """
+    shape = pts.shape
+    M, B = dq_a[0].shape[0], dq_a[0].shape[1]
+    pts = pts.reshape(M, -1, 3)
+    skin = skin.reshape(M, -1, B)
+
+    qr = jnp.concatenate([dq_a[0], dq_b[0]], axis=0)  # (2M, B, 4)
+    qd = jnp.concatenate([dq_a[1], dq_b[1]], axis=0)
+
+    # per-set sign tables, one shared one-hot anchor, one sign matmul
+    sign_tab = jnp.where(
+        jnp.einsum("mia,mja->mij", qr, qr) > 0, 1.0, -1.0
+    )  # (2M, B, B)
+    onehot = jax.nn.one_hot(jnp.argmax(skin, -1), B, dtype=skin.dtype)
+    onehot2 = jnp.concatenate([onehot, onehot], axis=0)  # (2M, P, B)
+    sign = onehot2 @ sign_tab
+
+    sw = jnp.concatenate([skin, skin], axis=0) * sign  # (2M, P, B)
+    qr_w = sw @ qr
+    qd_w = sw @ qd
+
+    inv_mag = jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(qr_w * qr_w, -1, keepdims=True), 1e-12)
+    )
+    qr_w = qr_w * inv_mag
+    qd_w = qd_w * inv_mag
+
+    pts2 = jnp.concatenate([pts, pts], axis=0)
+    w, x, y, z = (qr_w[..., i] for i in range(4))
+    px, py, pz = (pts2[..., i] for i in range(3))
+    cx = y * pz - z * py + w * px
+    cy = z * px - x * pz + w * py
+    cz = x * py - y * px + w * pz
+    rx = px + 2 * (y * cz - z * cy)
+    ry = py + 2 * (z * cx - x * cz)
+    rz = pz + 2 * (x * cy - y * cx)
+    dw, dx, dy, dz = (qd_w[..., i] for i in range(4))
+    tx = 2 * (-dw * x + dx * w - dy * z + dz * y)
+    ty = 2 * (-dw * y + dx * z + dy * w - dz * x)
+    tz = 2 * (-dw * z - dx * y + dy * x + dz * w)
+    out = jnp.stack([rx + tx, ry + ty, rz + tz], -1)  # (2M, P, 3)
+    return out[:M].reshape(shape), out[M:].reshape(shape)
+
+
 def obj_to_cam(pts: jnp.ndarray, rtmat: jnp.ndarray) -> jnp.ndarray:
     """Transform (N,3) points by (M,4,4) object-to-camera matrices -> (M,N,3)."""
     return (
