@@ -962,6 +962,17 @@ class Trainer:
         current = serialization.to_state_dict(self.opt_state)
         cur_flat = flax.traverse_util.flatten_dict(current)
         new_flat = flax.traverse_util.flatten_dict(loaded)
+        # checkpoints written before clip_with_norm replaced
+        # optax.clip_by_global_norm lack its scalar grad_norm leaf;
+        # backfill zeros rather than discarding all Adam moments
+        missing = set(cur_flat) - set(new_flat)
+        if missing and all(
+            k[-1] == "grad_norm" and np.shape(cur_flat[k]) == ()
+            for k in missing
+        ):
+            for k in missing:
+                new_flat[k] = np.zeros((), np.float32)
+            loaded = flax.traverse_util.unflatten_dict(new_flat)
         if set(cur_flat) != set(new_flat) or any(
             np.shape(cur_flat[k]) != np.shape(new_flat[k]) for k in cur_flat
         ):

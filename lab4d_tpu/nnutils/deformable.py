@@ -154,6 +154,10 @@ class Deformable(FeatureNeRF):
         }
         if delta is not None:
             cyc_dict["delta_skin"] = jnp.mean(delta**2, axis=-1, keepdims=True)
+        else:
+            # keep loss_dict/logging keys identical to the separate
+            # compute_flow + cycle_loss path for delta_skin=False configs
+            cyc_dict["delta_skin"] = jnp.zeros_like(cyc_dict["cyc_dist"])
 
         field2cam_next = (flip_pair(field2cam[0]), flip_pair(field2cam[1]))
         Kinv_next = flip_pair(Kinv)

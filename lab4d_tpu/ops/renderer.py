@@ -17,17 +17,6 @@ import jax
 import jax.numpy as jnp
 
 
-def _fused_render_enabled() -> bool:
-    """Opt-in: the fused volume-render kernel (ops/render_kernel.py) is
-    numerically exact but measured SLOWER than this XLA path on v5e
-    (129k vs 178k rays/s end-to-end) — its block-identity-matmul
-    formulation of the per-ray<->per-sample moves does ~RT x the minimal
-    integration FLOPs. Kept for experimentation; default off."""
-    if os.environ.get("LAB4D_FUSED_RENDER", "0") != "1":
-        return False
-    return jax.default_backend() == "tpu"
-
-
 def permutation_gather(indices: jnp.ndarray, packed: jnp.ndarray):
     """values[..., indices, :] as a one-hot permutation MATMUL.
 
@@ -106,12 +95,10 @@ def compute_weights(density: jnp.ndarray, deltas: jnp.ndarray):
     # lanes of every (8,128) tile; (M,N,D) keeps the D axis minor
     tau = deltas[..., 0] * density[..., 0]  # (M, N, D)
     alpha = 1.0 - jnp.exp(-tau)
-    if os.environ.get("LAB4D_CUMSUM_MM", "0") == "1":
-        D = tau.shape[-1]
-        tri = jnp.asarray(np.tril(np.ones((D, D), np.float32)).T)
-        cum = tau @ tri  # cum_i = sum_{j<=i} tau_j as one MXU pass
-    else:
-        cum = jnp.cumsum(tau, axis=-1)
+    # (a triangular-matmul cumsum was tried here; at default TPU matmul
+    # precision it drifts from jnp.cumsum via bf16 rounding and measured
+    # no faster at D=64, so the plain cumsum stays)
+    cum = jnp.cumsum(tau, axis=-1)
     transmit_incl = jnp.exp(-cum)  # T_{i+1} = exp(-sum_{j<=i} tau_j)
     transmit_excl = jnp.concatenate(
         [jnp.ones_like(transmit_incl[..., :1]), transmit_incl[..., :-1]], axis=-1
@@ -135,13 +122,15 @@ _KEY_SKIP = (
 
 
 def render_pixel(field_dict: Dict[str, jnp.ndarray], deltas: jnp.ndarray):
-    """Volume-render field outputs along rays. Parity: render_utils.py:59-96."""
-    if _fused_render_enabled():
-        from lab4d_tpu.ops.render_kernel import render_pixel_fused
+    """Volume-render field outputs along rays. Parity: render_utils.py:59-96.
 
-        rendered = render_pixel_fused(field_dict, deltas)
-        if rendered is not None:
-            return rendered
+    A fully-fused Pallas volume-render kernel was built and measured here
+    in rounds 1-3: numerically exact but SLOWER than this XLA path on v5e
+    both in training (129k vs 178k rays/s end-to-end) and in eval fusion
+    (685 ms vs ~310 ms per 512px frame) — its block-identity-matmul
+    formulation of the per-ray<->per-sample moves does ~RT x the minimal
+    integration FLOPs, and XLA already fuses the cumsum/exp/weighted-sum
+    chain. Deleted in round 4; measurements kept in docs/performance.md."""
     weights, transmit = compute_weights(field_dict["density"], deltas)
     rendered = integrate(field_dict, weights)
 

@@ -20,8 +20,11 @@ rngs = {"params": jax.random.PRNGKey(0), "aux": jax.random.PRNGKey(1),
 sched = compute_sched(0)
 params = jax.jit(model.init, static_argnames=("train",))(
     rngs, batch, sched, train=True)["params"]
-from lab4d_tpu.engine.flat_opt import flat_clip_adamw
-tx = flat_clip_adamw(params, lambda s: 5e-4, clip=5.0, weight_decay=1e-4)
+from lab4d_tpu.engine.trainer import clip_with_norm
+tx = optax.chain(
+    clip_with_norm(5.0),
+    optax.adamw(5e-4, b1=0.9, b2=0.999, weight_decay=1e-4),
+)
 opt_state = tx.init(params)
 
 
@@ -69,10 +72,11 @@ for plane in xs.planes:
     stats = collections.Counter()
     counts = collections.Counter()
     for line in plane.lines:
-        # XLA Ops / XLA Modules lines carry the per-fusion timings
+        # only XLA Ops / XLA Modules / Steps lines carry per-fusion
+        # timings; other plane lines would double-count device time
         if "XLA Ops" not in line.name and "XLA TraceMe" not in line.name \
                 and line.name != "Steps" and "XLA Modules" not in line.name:
-            pass
+            continue
         for ev in line.events:
             name = ev_meta[ev.metadata_id].name
             stats[(line.name, name)] += ev.duration_ps / 1e9  # ms

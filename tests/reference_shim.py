@@ -14,12 +14,20 @@ golden inputs (VERDICT round-2 item 2).
 
 from __future__ import annotations
 
+import importlib.util
 import sys
 import types
 
 import numpy as np
 
 REFERENCE_ROOT = "/root/reference"
+
+
+def _importable(name):
+    try:
+        return importlib.util.find_spec(name) is not None
+    except (ImportError, ValueError):
+        return False
 
 
 def _rodrigues(rvec):
@@ -38,47 +46,79 @@ def _rodrigues(rvec):
     return R, None
 
 
-def _stub(name, **attrs):
+def _stub(name, added, **attrs):
+    """Install a fake module named `name` ONLY if it is genuinely
+    unimportable in this environment; record it in `added` so it can be
+    removed from sys.modules once the reference is loaded. Never shadows
+    a real installed package (round-3 regression: stubbing installed
+    cv2/imageio poisoned every later test in the same pytest process)."""
     if name in sys.modules:
         return sys.modules[name]
+    if _importable(name):
+        return None  # real module exists; let the reference import it
     m = types.ModuleType(name)
     for k, v in attrs.items():
         setattr(m, k, v)
     sys.modules[name] = m
+    added.append(name)
     return m
 
 
 def import_reference():
     """Import and return the reference's math/nn modules. Returns a dict
     with quat_transform, geom_utils, skel_utils, render_utils, embedding,
-    plus torch."""
-    if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+    plus torch.
+
+    Stubs for genuinely-missing third-party deps are installed only for
+    the duration of the reference import and removed afterwards (the
+    loaded reference modules keep their own references); likewise
+    REFERENCE_ROOT is dropped from sys.path again so the reference's
+    top-level `preprocess`/`scripts`/`browser` packages can never shadow
+    this repo's."""
 
     class _Placeholder:
         def __init__(self, *a, **k):
             raise RuntimeError("stubbed third-party module used")
 
-    _stub("trimesh", Trimesh=_Placeholder, creation=types.SimpleNamespace())
-    _stub("pysdf", SDF=_Placeholder)
-    _stub("gdown")
-    _stub("cv2", Rodrigues=_rodrigues)
-    _stub("imageio")
-    sk = _stub("skimage")
-    skm = _stub("skimage.measure", marching_cubes=_Placeholder)
-    sk.measure = skm
+    added_stubs = []
+    path_added = REFERENCE_ROOT not in sys.path
+    if path_added:
+        sys.path.insert(0, REFERENCE_ROOT)
+
+    _stub("trimesh", added_stubs, Trimesh=_Placeholder,
+          creation=types.SimpleNamespace())
+    _stub("pysdf", added_stubs, SDF=_Placeholder)
+    _stub("gdown", added_stubs)
+    _stub("cv2", added_stubs, Rodrigues=_rodrigues)
+    _stub("imageio", added_stubs)
+    sk = _stub("skimage", added_stubs)
+    skm = _stub("skimage.measure", added_stubs, marching_cubes=_Placeholder)
+    if sk is not None and skm is not None:
+        sk.measure = skm
     # the CUDA quaternion extension: quat_transform only calls it for
     # CUDA tensors; CPU tensors take the jit-scripted fallbacks
     _stub(
         "quaternion",
+        added_stubs,
         quaternion_mul=_Placeholder,
         quaternion_conjugate=_Placeholder,
     )
 
-    import torch  # noqa: F401
+    try:
+        import torch  # noqa: F401
 
-    from lab4d.utils import geom_utils, quat_transform, render_utils, skel_utils
-    from lab4d.nnutils import embedding
+        from lab4d.utils import (  # noqa: F401
+            geom_utils,
+            quat_transform,
+            render_utils,
+            skel_utils,
+        )
+        from lab4d.nnutils import embedding  # noqa: F401
+    finally:
+        for name in added_stubs:
+            sys.modules.pop(name, None)
+        if path_added and REFERENCE_ROOT in sys.path:
+            sys.path.remove(REFERENCE_ROOT)
 
     # the reference's public quaternion_mul only handles (..., 3) "pure"
     # quaternion operands on its CUDA path (src/quaternion.cu supports 3-

@@ -27,10 +27,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
+import torch
+
 from reference_shim import get_reference
 
-ref = get_reference()
-torch = ref["torch"]
+
+class _LazyReference:
+    """Defers the reference import to first use inside a test, so pytest
+    collection never triggers it (round-3 regression: importing at
+    collection time ordered the old sys.modules-polluting shim before
+    every other test file)."""
+
+    def __getitem__(self, key):
+        return get_reference()[key]
+
+
+ref = _LazyReference()
 
 RNG = np.random.default_rng(20260818)
 
