@@ -258,6 +258,29 @@ def test_eval_path_stays_unfused():
     assert float(flag) == 0.0
 
 
+def init_params_with_intrinsics_prior(model, batch, sched):
+    """model.init + the trainer's intrinsics prior surgery (trainer.py
+    mlp_init step 1). Raw-init intrinsics are fx~1 / ppoint=0, which
+    sends the synthetic rays ~140 units from the canonical origin; out
+    there the freq-512 PE phase exceeds f32 resolution (ulp(512*140) ~
+    8e-3 rad), so the gradients of ANY two bitwise-different but
+    mathematically equal implementations legitimately diverge O(1) —
+    numeric parity is only well-posed at training-realistic scales."""
+    import flax
+    from lab4d_tpu.nnutils.intrinsics import intrinsics_base_init
+
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        RNGS, batch, sched, train=True
+    )
+    params = flax.core.unfreeze(variables["params"])
+    lf, pp = intrinsics_base_init(
+        np.asarray(model.intrinsics_init), model.frame_info
+    )
+    params["intrinsics"]["base_logfocal"] = jnp.asarray(lf)
+    params["intrinsics"]["base_ppoint"] = jnp.asarray(pp)
+    return {"params": params}
+
+
 def test_fused_kernel_train_parity(monkeypatch):
     """The fused field-megakernel train path (pallas interpret mode on
     CPU) must reproduce the jnp decomposition's losses and gradients.
@@ -267,9 +290,7 @@ def test_fused_kernel_train_parity(monkeypatch):
 
     model, batch = make_model_and_batch("fg", "skel-quad")
     sched = compute_sched(100)
-    variables = jax.jit(model.init, static_argnames=("train",))(
-        RNGS, batch, sched, train=True
-    )
+    variables = init_params_with_intrinsics_prior(model, batch, sched)
 
     def loss_fn(p):
         ld = model.apply(
