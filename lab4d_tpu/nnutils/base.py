@@ -175,10 +175,19 @@ class BaseMLP(nn.Module):
                 )
             return out.reshape(x.shape[:-1] + (self.out_channels,))
 
+        # input features as BLOCKS, never concatenated: every consuming
+        # matmul is split along its K rows instead ((A|B) @ [Wa;Wb] =
+        # A@Wa + B@Wb). XLA lowers the skip/PE concats to column-wise
+        # relayouts that measured ~50 ms of a 523 ms 512^2 eval frame on
+        # v5e (round-4 profile); split matmuls fuse into each block's
+        # producer. Same trick the pallas field kernel uses
+        # (ops/field_kernel.py skip-concat fold).
         if pe_spec is not None:
-            from lab4d_tpu.nnutils.embedding import fourier_embed
+            from lab4d_tpu.nnutils.embedding import fourier_embed_blocks
 
-            x = fourier_embed(x, pe_freqs, pe_window)
+            blocks = fourier_embed_blocks(x, pe_freqs, pe_window)
+        else:
+            blocks = [x]
 
         def row_add(i, h):
             if i not in row_adds:
@@ -191,7 +200,7 @@ class BaseMLP(nn.Module):
             # embedded features are bounded (sin/cos in [-1,1]) -> safe to
             # cast; the MXU still accumulates f32 internally for bf16
             # operands, only the stored activations shrink
-            x = x.astype(jnp.bfloat16)
+            blocks = [b.astype(jnp.bfloat16) for b in blocks]
             weights = [w.astype(jnp.bfloat16) for w in weights]
             biases = [b.astype(jnp.bfloat16) for b in biases]
 
@@ -204,11 +213,22 @@ class BaseMLP(nn.Module):
             )
             return out.astype(h.dtype)
 
-        out = x
+        def block_matmul(blks, w):
+            # w rows ordered as concat(blks); slicing is loop-invariant
+            out, off = None, 0
+            for b in blks:
+                k = b.shape[-1]
+                part = matmul(b, w[off : off + k])
+                out = part if out is None else out + part
+                off += k
+            return out
+
+        out = None
         for i in range(self.D):
-            if i in self.skips:
-                out = jnp.concatenate([x, out], axis=-1)
-            out = nn.relu(row_add(i, matmul(out, weights[i])) + biases[i])
+            blks = blocks if out is None or i in self.skips else []
+            if out is not None:
+                blks = blks + [out]
+            out = nn.relu(row_add(i, block_matmul(blks, weights[i])) + biases[i])
         out = row_add(self.D, matmul(out, weights[-1])) + biases[-1]
         if self.final_act:
             out = nn.relu(out)

@@ -69,6 +69,24 @@ def fourier_embed_dim(in_channels: int, n_freqs: int) -> int:
     return in_channels * (2 * n_freqs + 1)
 
 
+def fourier_embed_blocks(x: jnp.ndarray, freqs, window=None):
+    """The three Fourier-feature blocks [x, sin(FxC), cos(FxC)] WITHOUT
+    the final concat, for consumers that split their weight matrix along
+    K instead (BaseMLP block_matmul): on TPU the concat is a pure
+    relayout that XLA cannot always fuse away. Block order and values
+    match fourier_embed exactly."""
+    if len(freqs) == 0:
+        return [x]
+    freqs_arr = jnp.asarray(freqs, jnp.float32)
+    ang = x[..., None, :] * freqs_arr[:, None]  # (..., F, C)
+    sin_b, cos_b = jnp.sin(ang), jnp.cos(ang)
+    if window is not None:
+        sin_b = sin_b * window[:, None]
+        cos_b = cos_b * window[:, None]
+    flat_shape = x.shape[:-1] + (len(freqs) * x.shape[-1],)
+    return [x, sin_b.reshape(flat_shape), cos_b.reshape(flat_shape)]
+
+
 def fourier_embed(x: jnp.ndarray, freqs, window=None) -> jnp.ndarray:
     """Fourier features in the PE-fused-kernel layout
     [x, sin blocks (F x C), cos blocks (F x C)], with an optional (F,)
