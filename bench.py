@@ -83,14 +83,18 @@ def hardware_probe(n: int = 20) -> float:
 
 def render_bench() -> dict:
     """Render fps @512^2, full channel set, via the standalone harness
-    (scripts/perf/bench_render.py) in a subprocess. Returns {} on failure
-    so a render-side breakage cannot take down the train metric."""
+    (scripts/perf/bench_render.py) in a subprocess, at the render CLI's
+    shipped defaults (eval_topk=8 weight-ranked heavy heads, chunk 2048 —
+    render.py / nerf._eval_topk; exact density+mask, rgb within 60 dB of
+    the every-sample evaluation). Returns {} on failure so a render-side
+    breakage cannot take down the train metric."""
     script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "scripts", "perf", "bench_render.py")
     try:
+        env = dict(os.environ, LAB4D_EVAL_TOPK="8")
         out = subprocess.run(
-            [sys.executable, script, "512", "512", "3"],
-            capture_output=True, text=True, timeout=1200,
+            [sys.executable, script, "512", "2048", "3"],
+            capture_output=True, text=True, timeout=1200, env=env,
         )
         for line in reversed(out.stdout.strip().splitlines()):
             try:

@@ -36,6 +36,15 @@ class RenderFlags:
         "their producers on-device (feature/vis MLPs, cycle warp, the "
         "normal-gradient pass) and shrinks the device->host readback",
     )
+    flags.DEFINE_integer(
+        "eval_topk", 8,
+        "per-ray sample budget for the heavy eval channels: density and "
+        "the integration weights still use all 64 union samples, heavy "
+        "heads (rgb/vis/feature/normal vjp/cycle) run only at the top-k "
+        "weighted samples. 0 = exact every-sample evaluation (the "
+        "reference's behavior). Approximation error is bounded by the "
+        "dropped integration mass (see nerf._eval_topk)",
+    )
 
 
 def construct_batch_from_opts(opts, model, params, geo_state, proxy, data_info):
@@ -152,19 +161,27 @@ def construct_batch_from_opts(opts, model, params, geo_state, proxy, data_info):
     return batch, raw_size
 
 
-def render_batch(model, params, batch, geo_state, categories, chunk=1024,
+def render_batch(model, params, batch, geo_state, categories, chunk=None,
                  keys=None):
     """Jit-render the batch frame by frame, `chunk` rays per jit call
     (model.evaluate, model.py:162-207, chunking model.py:259-326): a full
     256^2 deformable frame in one call needs >16 GB of HBM activations
     (skinning + two-pass sampling at 64 samples/ray), so rays are
     streamed through one fixed-shape compiled program; mask-blended.
-    chunk=1024 measured fastest on v5e with the merged two-pass eval
-    (skel-quad): @256^2 1024=236, 2048=243 ms/frame; @512^2 1024=845,
-    2048=877, 4096=959 ms — smaller chunks relieve HBM pressure from
-    the normal-gradient pass."""
+    chunk=None picks the measured v5e optimum for the active eval mode:
+    2048 under weight-ranked eval (topk heavy heads are 4-8x lighter per
+    chunk; @512^2 skel-quad topk=8: 2048=241, 1024=248 ms/frame,
+    topk=16: 2048=344, 1024=356, 512=359) vs 1024 for the exact
+    every-sample eval (@512^2: 1024=845, 2048=877, 4096=959 ms —
+    smaller chunks relieve HBM pressure from the normal-gradient
+    pass; 2026-08-19 window: 512=506)."""
     import jax
     import jax.numpy as jnp
+
+    if chunk is None:
+        from lab4d_tpu.nnutils.nerf import _eval_topk
+
+        chunk = 2048 if _eval_topk() is not None else 1024
 
     geo = {
         cate: {
@@ -289,6 +306,10 @@ def render(opts, construct_batch_func=construct_batch_from_opts):
         # the eval pass reads this at trace time to skip the producers of
         # unrequested channels (nerf._eval_channels)
         os.environ["LAB4D_EVAL_CHANNELS"] = ",".join(sorted(keys))
+    if opts.get("eval_topk") is not None and int(opts["eval_topk"]) > 0:
+        os.environ["LAB4D_EVAL_TOPK"] = str(int(opts["eval_topk"]))
+    else:
+        os.environ.pop("LAB4D_EVAL_TOPK", None)
 
     (model, params, geo_state, proxy, data_info, _) = (
         Trainer.construct_test_model(opts)
