@@ -85,7 +85,10 @@ def make_synthetic_dataset(
     os.makedirs(f"{root}/configs", exist_ok=True)
     proc = f"{root}/processed"
     deltas = [1, 2, 4, 8]
-    cfg_lines = ["[data]", ""]
+    # init_frame/end_frame defaults make the config loadable by the
+    # reference's parser too (lab4d/dataloader/data_utils.py:196-204
+    # reads them with no fallback) — used by scripts/compare_reference_psnr.py
+    cfg_lines = ["[data]", "init_frame = 0", "end_frame = -1", ""]
 
     for vid in range(num_vids):
         vidname = f"{seqname}-{vid:04d}"
