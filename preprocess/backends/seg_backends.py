@@ -192,6 +192,14 @@ def run_segmentation(seqname: str, outdir: str, text_prompt: str = ""):
         masks = segment_video_unet(frames)
     else:
         masks = segment_video_grabcut(frames)
+    if text_prompt.strip():
+        # prompt-grounded instance selection over the tracked components
+        # (the zero-egress stand-in for the reference's GroundingDINO
+        # prompt path; see preprocess/backends/prompt_select.py)
+        from preprocess.backends.prompt_select import select_by_prompt
+
+        masks, inst = select_by_prompt(frames, masks, text_prompt)
+        print(f"prompt {text_prompt!r}: selected instance {inst}")
     for p, m in zip(img_paths, masks):
         if not (m > 0).any():
             m = np.full_like(m, -1)  # undetected-frame convention
