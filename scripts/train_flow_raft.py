@@ -24,10 +24,9 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")
 from tests.synthetic_raw import CAM_DIST, render_frame, orbit_pose, project
 
 
-def _rand_pose(rng, t):
-    """Orbit pose with random elevation/distance jitter."""
-    rt = orbit_pose(t, dist=CAM_DIST + rng.uniform(-0.6, 0.9))
-    el = rng.uniform(-0.5, 0.5)
+def _pose(t, el, dd):
+    """Orbit pose at phase t with elevation el (rad) and distance offset."""
+    rt = orbit_pose(t, dist=CAM_DIST + dd)
     R_x = np.array(
         [
             [1, 0, 0],
@@ -41,6 +40,11 @@ def _rand_pose(rng, t):
     return rt2
 
 
+def _rand_pose(rng, t):
+    """Orbit pose with random elevation/distance jitter."""
+    return _pose(t, rng.uniform(-0.5, 0.5), rng.uniform(-0.6, 0.9))
+
+
 def gen_pair(rng: np.random.Generator, res: int):
     """One random textured pair + dense GT flow (px) + valid mask."""
     import tests.synthetic_raw as sr
@@ -49,7 +53,18 @@ def gen_pair(rng: np.random.Generator, res: int):
          res / 2, res / 2)
     t0 = rng.uniform(0, 1)
     dt = rng.uniform(0.005, 0.05) * rng.choice([-1, 1])
-    rt0, rt1 = _rand_pose(rng, t0), _rand_pose(rng, t0 + dt)
+    # scene-level jitter (elevation, distance) is SHARED between the two
+    # frames — re-drawing it per frame (the round-1..3 behavior) made
+    # every "adjacent-frame" pair jump up to ~57 deg of elevation, i.e.
+    # mean |flow| ~46 px at 128 res, nothing like the delta 1..8 frame
+    # pairs the preprocessing pipeline actually computes; the camera may
+    # still drift slightly within a pair
+    el = rng.uniform(-0.5, 0.5)
+    dd = rng.uniform(-0.6, 0.9)
+    rt0 = _pose(t0, el, dd)
+    rt1 = _pose(
+        t0 + dt, el + rng.uniform(-0.03, 0.03), dd + rng.uniform(-0.05, 0.05)
+    )
 
     # vary the procedural texture per scene
     orig_tex = sr._texture

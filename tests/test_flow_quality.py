@@ -118,13 +118,23 @@ def test_shipped_raft_beats_classical():
     model = RAFTLite()
     run = jax.jit(lambda a, b: model.apply({"params": params}, a, b))
     rng = np.random.default_rng(99)
-    e_raft, e_classic = [], []
+    e_raft, e_classic, e_big = [], [], []
     for _ in range(4):
         rgb0, rgb1, flow, valid = gen_pair(rng, 128)
-        e_raft.append(epe(run(jnp.asarray(rgb0), jnp.asarray(rgb1)),
-                          flow, valid))
+        pred = np.asarray(run(jnp.asarray(rgb0), jnp.asarray(rgb1)))
+        e_raft.append(epe(pred, flow, valid))
         e_classic.append(
             epe(flow_pyramid(jnp.asarray(rgb0.mean(-1)),
                              jnp.asarray(rgb1.mean(-1))), flow, valid)
         )
+        mag = np.linalg.norm(flow, axis=-1)
+        vbig = (np.asarray(valid) > 0) & (mag > 3.0)
+        if vbig.any():
+            err = np.linalg.norm(pred - flow, axis=-1)
+            e_big.append(float(err[vbig].mean()))
     assert np.mean(e_raft) < np.mean(e_classic), (e_raft, e_classic)
+    # absolute bar (round-2/3 verdict ask): sub-2px EPE on moving pixels
+    # of held-out adjacent-frame pairs (measured 1.56 px after the
+    # round-4 retrain on the fixed shared-jitter pair generator;
+    # the old independent-jitter weights scored ~17 px here)
+    assert np.mean(e_big) < 2.0, e_big

