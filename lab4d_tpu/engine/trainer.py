@@ -226,14 +226,20 @@ class Trainer:
         self.opt_cache = [None, None]
 
     def _init_proxy(self, cate: str) -> TriMesh:
-        """Initial proxy mesh: TSDF mesh for bg, small sphere for fg
-        (nerf.py:240-249, deformable.py:86-93)."""
-        if cate == "bg":
+        """Initial proxy mesh: the scaled TSDF mesh for bg and RIGID fg
+        (nerf.py:240-249 — real object scale), the small sphere only for
+        articulated fg (deformable.py:86-93). The reference loads the
+        TSDF mesh for rigid fg, so its geometry_init distills the real
+        object shape and its initial aabb/near-far start at object scale;
+        starting from the 0.12 sphere (the pre-round-4 behavior) seeds
+        them ~2x too small and the EMA'd aabb lags the trained geometry
+        for several rounds (scripts/compare_reference_psnr.py)."""
+        if cate == "bg" or self.opts["fg_motion"] == "rigid":
             path = self.data_info["geom_path"][
-                self.data_info["vis_info"]["bg"]
+                self.data_info["vis_info"][cate]
             ]
             mesh = load_obj(path)
-            mesh.apply_scale(_INIT_SCALE["bg"])
+            mesh.apply_scale(_INIT_SCALE[cate])
             return mesh
         return uv_sphere(radius=0.12, count=[4, 4])
 

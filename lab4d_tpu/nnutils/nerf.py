@@ -356,6 +356,11 @@ class NeRF(nn.Module):
             # dense-masked analog of the reference's valid-idx sparsification
             # (nerf.py:496-528): zero density outside the (extended) canonical
             # aabb so the untrained exterior of the MLP cannot contribute.
+            # EVAL-ONLY, like the reference (its query_field sets
+            # valid_idx = None while self.training, nerf.py:633-636) —
+            # applying it at train was measured to HURT (4-round synthetic
+            # PSNR 8.9 vs 12.8): the hard clip blocks density gradients
+            # outside the still-small early aabb.
             valid = self.get_valid_mask(xyz, xyz_t, samples_dict)
             if valid is not None:
                 for k in ("density", f"density_{self.category}"):

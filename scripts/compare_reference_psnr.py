@@ -117,6 +117,24 @@ def run_reference(workdir, seqname, rounds, res, iters):
         )
         return masked_psnr(pred, ref_rgb, ref_mask)
 
+    def diag():
+        out = {}
+        for k, v in trainer.model.named_parameters():
+            lk = k.lower()
+            if v.numel() <= 2 and ("beta" in lk or "scale" in lk):
+                out[k] = [round(float(x), 4) for x in v.detach().flatten()]
+        try:
+            fld = trainer.model.fields.field_params["fg"]
+            out["aabb"] = np.asarray(
+                fld.aabb.detach().cpu()
+            ).round(3).tolist()
+            out["proxy_bounds"] = np.asarray(
+                fld.proxy_geometry.bounds
+            ).round(3).tolist()
+        except Exception as e:
+            out["aabb_err"] = str(e)
+        return out
+
     traj = []
     for r in range(rounds):
         trainer.model.train()
@@ -126,7 +144,7 @@ def run_reference(workdir, seqname, rounds, res, iters):
         with torch.no_grad():
             p = eval_psnr()
         traj.append(p)
-        print(f"[ref] round {r}: psnr={p:.2f}", flush=True)
+        print(f"[ref] round {r}: psnr={p:.2f} diag={diag()}", flush=True)
     return traj
 
 
@@ -160,16 +178,39 @@ def run_ours(workdir, seqname, rounds, res, iters):
     flags.FLAGS(argv)
     opts = get_config()
     trainer = Trainer(opts)
-    trainer.train()
 
-    # read the logged eval PSNR trajectory
+    # drive rounds manually and compute the SAME masked PSNR as the
+    # reference side (train first, then eval — the trainer's own logging
+    # evals before each round)
+    import jax.tree_util as tu
+
+    def diag():
+        out = {}
+        for path, v in tu.tree_leaves_with_path(trainer.params):
+            k = tu.keystr(path).lower()
+            if np.size(v) <= 2 and ("beta" in k or "scale" in k):
+                out[tu.keystr(path)] = [
+                    round(float(x), 4) for x in np.asarray(v).flatten()
+                ]
+        try:
+            g = trainer.geo_state["fg"]
+            out["aabb"] = np.asarray(g["aabb"]).round(3).tolist()
+            out["proxy_bounds"] = np.asarray(
+                trainer.proxy["fg"].bounds
+            ).round(3).tolist()
+        except Exception as e:
+            out["aabb_err"] = str(e)
+        return out
+
     traj = []
-    mpath = os.path.join(trainer.save_dir, "metrics.jsonl")
-    with open(mpath) as f:
-        for line in f:
-            d = json.loads(line)
-            if "eval/psnr" in d:
-                traj.append(float(d["eval/psnr"]))
+    for r in range(rounds):
+        trainer.train_one_round(r)
+        trainer.current_round += 1
+        trainer.update_geometry_aux()
+        out, ref = trainer.render_frames(trainer.eval_fid, return_ref=True)
+        p = masked_psnr(out["rgb"], ref["rgb"], ref["mask"][..., 0])
+        traj.append(p)
+        print(f"[ours] round {r}: psnr={p:.2f} diag={diag()}", flush=True)
     print(f"[ours] psnr trajectory: {traj}", flush=True)
     return traj
 
