@@ -56,6 +56,9 @@ class MultiFields(nn.Module):
                 appr_channels=32,
                 init_scale=0.2,
                 joint_angles_init=self.joint_angles_init,
+                # comp packs fg+bg along one sample axis, so the eikonal
+                # channel must stay at dense (M,N,D,1) sample resolution
+                eikonal_dense=self.field_type == "comp",
             )
         if self.field_type in ("bg", "comp"):
             rtmat = np.array(self.rtmat_bg)
@@ -71,6 +74,7 @@ class MultiFields(nn.Module):
                 num_freq_dir=0,
                 appr_channels=0,
                 init_scale=0.1,
+                eikonal_dense=self.field_type == "comp",
             )
         self.field_params = fields
 
@@ -110,6 +114,14 @@ class MultiFields(nn.Module):
                 samples_dict[cate], sched=sched, train=train,
                 flow_thresh=flow_thresh,
             )
+            if train:
+                # no training loss consumes the integrated xyz/xyz_cam
+                # channels (they exist for eval readouts); leaving them in
+                # rides 6 dead sample-resolution channels through the
+                # packed integrate einsum, its backward split and the
+                # layout copies around them (~1 ms/step on v5e)
+                multifields_dict[cate].pop("xyz", None)
+                multifields_dict[cate].pop("xyz_cam", None)
         return multifields_dict, deltas_dict, aux_dict
 
     @staticmethod

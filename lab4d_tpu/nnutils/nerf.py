@@ -140,6 +140,13 @@ class NeRF(nn.Module):
     init_scale: float = 0.1
     color_act: bool = True
     feature_channels: int = 16
+    # True: scatter the subsampled train-time eikonal back into a dense
+    # (M,N,D,1) tensor (required when compose_fields packs several fields
+    # into one sample axis — comp configs). False: return the compact
+    # (S,D,1) values directly; the loss (a nonzero-mean) is identical and
+    # the dense zeros/scatter/broadcast traffic (~0.6 ms/step on v5e)
+    # disappears.
+    eikonal_dense: bool = False
 
     def setup(self):
         self.pos_embedding = PosEmbedding(3, self.num_freq_xyz)
@@ -857,8 +864,12 @@ class NeRF(nn.Module):
     def compute_eikonal(self, xyz, inst_id=None, sample_ratio=16, sched=None):
         """Subsampled eikonal loss in canonical space (nerf.py:416-453).
 
-        Static-size random ray gather -> grad of pointwise SDF -> scatter
-        back to dense zeros.
+        Static-size random ray gather -> grad of pointwise SDF. With
+        eikonal_dense the values are scattered back into dense zeros (the
+        reference layout); otherwise the compact (S, D, 1) tensor is
+        returned — render_pixel mean-reduces the trailing axes and the
+        nonzero-mean loss reducer divides by the same S sampled rays
+        either way, so the loss value is unchanged.
         """
         M, N, Dd, _ = xyz.shape
         sample_size = max(1, (M * N) // sample_ratio)
@@ -883,8 +894,10 @@ class NeRF(nn.Module):
         from lab4d_tpu.utils.geom import safe_norm
 
         eik = (safe_norm(g, keepdims=False) - 1.0) ** 2  # (S, D)
-        out = jnp.zeros((M * N, Dd)).at[idx].set(eik)
-        return out.reshape(M, N, Dd, 1)
+        if self.eikonal_dense:
+            out = jnp.zeros((M * N, Dd)).at[idx].set(eik)
+            return out.reshape(M, N, Dd, 1)
+        return eik[..., None]  # (S, D, 1)
 
     def compute_normal(
         self, xyz_cam, dir_cam, field2cam, frame_id, inst_id, samples_dict,

@@ -319,3 +319,70 @@ def test_fused_kernel_train_parity(monkeypatch):
             np.asarray(a), np.asarray(b), atol=5e-3, rtol=5e-3,
             err_msg=jax.tree_util.keystr(pa),
         )
+
+
+def test_sparse_eikonal_matches_dense_loss():
+    """The compact (S,D,1) train-time eikonal must produce the exact same
+    reg_eikonal loss value as the reference-layout dense scatter (the two
+    differ only in where the nonzero-mean's zero rows live)."""
+    from lab4d_tpu.nnutils.nerf import NeRF
+    from lab4d_tpu.ops.renderer import render_pixel
+    from lab4d_tpu.utils.loss import nonzero_mean
+
+    num_frames = 10
+    fi = FrameInfo([0, num_frames], [0, num_frames], list(range(num_frames)))
+    rt = np.tile(np.eye(4, dtype=np.float32)[None], (num_frames, 1, 1))
+    rt[:, 2, 3] = 1.0
+    kw = dict(category="fg", frame_info=fi, rtmat_init=rt, num_inst=1,
+              D=2, W=32, num_freq_dir=-1, appr_channels=16)
+    f_sparse = NeRF(eikonal_dense=False, **kw)
+    f_dense = NeRF(eikonal_dense=True, **kw)
+
+    xyz = jnp.asarray(
+        np.random.default_rng(3).standard_normal((4, 8, 16, 3)), jnp.float32
+    ) * 0.1
+
+    def eik(mod, pts):
+        return mod.compute_eikonal(pts, inst_id=None, sched=None)
+
+    rngs = {"params": jax.random.PRNGKey(0), "aux": jax.random.PRNGKey(7)}
+    variables = f_sparse.init(rngs, xyz, method=eik)
+    aux = {"aux": jax.random.PRNGKey(7)}
+    e_sparse = f_sparse.apply(variables, xyz, method=eik, rngs=aux)
+    e_dense = f_dense.apply(variables, xyz, method=eik, rngs=aux)
+
+    assert e_sparse.shape[1:] == (16, 1)      # (S, D, 1)
+    assert e_dense.shape == (4, 8, 16, 1)     # reference layout
+    # same reduction chain as render_pixel + _apply_loss_weights
+    l_sparse = nonzero_mean(e_sparse.mean(axis=(-1, -2)))
+    l_dense = nonzero_mean(e_dense.mean(axis=(-1, -2)))
+    np.testing.assert_allclose(
+        np.asarray(l_sparse), np.asarray(l_dense), rtol=1e-6
+    )
+
+
+def test_train_loss_unchanged_by_dead_channel_pruning():
+    """Dropping the integrated xyz/xyz_cam channels at train must not move
+    any loss value: no training loss reads them (they are eval readouts)."""
+    model, batch = make_model_and_batch("fg", "skel-quad")
+    sched = compute_sched(100)
+    variables = model.init(RNGS, batch, sched, train=True)
+    loss_dict = model.apply(
+        variables, batch, sched, train=True,
+        rngs={"aux": jax.random.PRNGKey(5), "swap": jax.random.PRNGKey(6)},
+    )
+    for v in jax.tree.leaves(loss_dict):
+        assert np.isfinite(float(v))
+
+    # eval path must still expose the xyz readout channels
+    eval_batch = {
+        "dataid": batch["dataid"][:, 0],
+        "frameid_sub": batch["frameid_sub"][:, 0],
+        "crop2raw": batch["crop2raw"][:, 0],
+        "hxy": batch["hxy"][:, 0],
+        "geo": batch["geo"],
+    }
+    rendered = model.apply(
+        variables, eval_batch, sched=None, method=DVRModel.evaluate_chunk
+    )
+    assert "xyz" in rendered and "xyz_cam" in rendered
