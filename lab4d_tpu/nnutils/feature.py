@@ -29,15 +29,12 @@ class FeatureNeRF(NeRF):
         )
         self.logsigma = self.param("logsigma", nn.initializers.zeros, (1,))
 
-    def query_all_heads(self, xyz, dir, frame_id, inst_id, sched, train,
-                        want_sdf_grad=False):
+    def query_all_heads(self, xyz, dir, frame_id, inst_id, sched, train):
         """Single-pass field evaluation through the multi-head Pallas
         kernel (ops/field_kernel.py): sdf/rgb/vis/feature from one tile
         sweep. Applies on the training path of single-instance fg fields
         (constant codes fold into biases; the appearance code is the only
-        per-pair conditioning and rides the kernel's per-tile row).
-        want_sdf_grad additionally emits the canonical SDF gradient via
-        in-kernel 3-tangent forward mode (rendering path)."""
+        per-pair conditioning and rides the kernel's per-tile row)."""
         from lab4d_tpu.nnutils.base import _fused_enabled
 
         if not train:
@@ -51,31 +48,21 @@ class FeatureNeRF(NeRF):
         if not self.field_kernel_ok(xyz):
             return None
         from lab4d_tpu.ops.field_kernel import (
-            MAX_TILE, MAX_TILE_GRAD, _pick_tile, fused_nerf_heads,
+            MAX_TILE, _pick_tile, fused_nerf_heads,
         )
 
         M, N, D = xyz.shape[:3]
         spp = N * D
         if _pick_tile(spp, MAX_TILE) is None:
             return None
-        if want_sdf_grad and _pick_tile(spp, MAX_TILE_GRAD) is None:
-            want_sdf_grad = False  # autodiff fallback in compute_jacobian
 
         x2 = xyz.reshape(-1, 3)
         nets, cfg, appr, win_b, win_c, ibeta = self.pack_field_nets(
             x2, frame_id, inst_id, sched, train, M
         )
-        dsdf = None
-        if want_sdf_grad:
-            from lab4d_tpu.ops.field_kernel import fused_nerf_heads_grad
-
-            density, rgb, vis, feature, dsdf = fused_nerf_heads_grad(
-                x2, None, appr, win_b, win_c, nets, ibeta, cfg, spp
-            )
-        else:
-            density, rgb, vis, feature = fused_nerf_heads(
-                x2, None, appr, win_b, win_c, nets, ibeta, cfg, spp
-            )
+        density, rgb, vis, feature = fused_nerf_heads(
+            x2, None, appr, win_b, win_c, nets, ibeta, cfg, spp
+        )
 
         # the kernel emits final quantities: VolSDF density, sigmoid rgb,
         # L2-normalized features — as separate (P, C) outputs, so these
@@ -92,9 +79,6 @@ class FeatureNeRF(NeRF):
             "vis": vis,
             "feature": feature,
         }
-        if dsdf is not None:
-            # canonical-space SDF gradient, rendering-time only (no VJP)
-            out["dsdf"] = dsdf.reshape(lead + (3,))
         return out
 
     def field_kernel_ok(self, xyz) -> bool:

@@ -119,7 +119,12 @@ class MultiFields(nn.Module):
                 # channels (they exist for eval readouts); leaving them in
                 # rides 6 dead sample-resolution channels through the
                 # packed integrate einsum, its backward split and the
-                # layout copies around them (~1 ms/step on v5e)
+                # layout copies around them (~1 ms/step on v5e).
+                # DIVERGENCE from the reference: its trainer keeps
+                # rendered["xyz"]/["xyz_cam"] at train time only to feed
+                # trainer.visualize_matches (ref trainer.py:408-410) — a
+                # debug visualization this repo doesn't have. A port of
+                # that feature must re-enable these channels here.
                 multifields_dict[cate].pop("xyz", None)
                 multifields_dict[cate].pop("xyz_cam", None)
         return multifields_dict, deltas_dict, aux_dict

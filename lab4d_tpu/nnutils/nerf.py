@@ -257,8 +257,7 @@ class NeRF(nn.Module):
     def sdf_fn(self, xyz, inst_id=None, sched=None):
         return self.forward(xyz, inst_id=inst_id, get_density=False, sched=sched)
 
-    def query_all_heads(self, xyz, dir, frame_id, inst_id, sched, train,
-                        want_sdf_grad=False):
+    def query_all_heads(self, xyz, dir, frame_id, inst_id, sched, train):
         """Hook for the multi-head fused field kernel (FeatureNeRF);
         None = use the per-module path."""
         return None
@@ -340,10 +339,6 @@ class NeRF(nn.Module):
         dir = backwarp_dict["dir"]
         xyz_t = backwarp_dict["xyz_t"]
 
-        # NOTE: want_sdf_grad stays False — rendering runs all-XLA (the
-        # kernel path returns None for train=False), so the in-kernel SDF
-        # gradient (fused_nerf_heads_grad) is an experiment reachable only
-        # through tests; see docs/performance.md
         feat_dict = self.query_all_heads(
             xyz, dir, frame_id, inst_id, sched, train
         )
@@ -357,7 +352,6 @@ class NeRF(nn.Module):
                 xyz, dir, frame_id, inst_id, sched, train, fused=fuse
             )
             feat_dict["vis"] = vis_score
-        dsdf = feat_dict.pop("dsdf", None)  # not an integrable channel
 
         if not train:
             # dense-masked analog of the reference's valid-idx sparsification
@@ -393,7 +387,7 @@ class NeRF(nn.Module):
 
         jacob_dict = self.compute_jacobian(
             xyz, xyz_cam, dir_cam, field2cam, frame_id, inst_id, samples_dict,
-            sched, train, dsdf=dsdf,
+            sched, train,
         )
         feat_dict.update(jacob_dict)
 
@@ -929,41 +923,10 @@ class NeRF(nn.Module):
 
     def compute_jacobian(
         self, xyz, xyz_cam, dir_cam, field2cam, frame_id, inst_id, samples_dict,
-        sched=None, train=True, dsdf=None,
+        sched=None, train=True,
     ):
         if train:
             return {"eikonal": self.compute_eikonal(xyz, inst_id=inst_id, sched=sched)}
-        if dsdf is not None:
-            # chain rule: grad_cam sdf(warp(x)) = J_warp^T grad_xyz sdf,
-            # with grad_xyz sdf from the field megakernel's in-kernel
-            # forward-mode tangents (+2 ms/chunk), then one reverse-mode
-            # VJP through the warp only. Measured alternatives at 8k-ray
-            # chunks: full reverse through warp+MLP via the kernel VJP
-            # 89 ms, 3 warp JVPs 136 ms (triple primal recompute), this
-            # form 88 ms embedded / 10 ms standalone — the remaining gap
-            # is the pallas fusion boundary, which is why the default
-            # eval path avoids the kernel entirely
-            def warp_fn(pts_cam):
-                return self.backward_warp(
-                    pts_cam, dir_cam, field2cam, frame_id, inst_id,
-                    samples_dict,
-                )["xyz"]
-
-            # barrier: makes the VJP's re-run of the warp forward depend
-            # on dsdf (the kernel output) and blocks CSE with the main
-            # warp pass — so the warp residuals are produced and consumed
-            # entirely after the pallas call instead of being pinned in
-            # HBM across it
-            pc, dsdf_b = jax.lax.optimization_barrier((xyz_cam, dsdf))
-            _, warp_vjp = jax.vjp(warp_fn, pc)
-            g = warp_vjp(dsdf_b)[0]
-            from lab4d_tpu.utils.geom import safe_norm
-
-            gnorm = safe_norm(g)
-            eik = (gnorm - 1.0) ** 2
-            normal = g / jnp.maximum(gnorm, 1e-6)
-            normal = normal * jnp.asarray([1.0, -1.0, -1.0])  # ECON convention
-            return {"eikonal": eik, "normal": normal}
         eik, normal = self.compute_normal(
             xyz_cam, dir_cam, field2cam, frame_id, inst_id, samples_dict, sched
         )

@@ -789,201 +789,13 @@ def nerf_heads_reference(x, dir_extra, appr_rows, win_b, win_c, nets,
     return density, rgb, vis, f16
 
 
-# ----------------------------------------- forward + SDF gradient variant
-
-
-MAX_TILE_GRAD = 1024
-
-
-def _embed_tangents(x, sin_t, cos_t, n_freqs, window, fcol):
-    """Stacked tangents of _embed(x) for the 3 unit directions: rows
-    [t_e0; t_e1; t_e2], each (T, C + 2*C*n). d sin(f x_j)/d x_j = f cos,
-    d cos/d x_j = -f sin; other coordinates' columns are zero."""
-    T, C = x.shape
-    s = sin_t[:, : C * n_freqs]
-    c = cos_t[:, : C * n_freqs]
-    f = fcol[:, : C * n_freqs]
-    if window is not None:
-        w = window[0, : C * n_freqs]
-        ds_all = c * f * w
-        dc_all = -s * f * w
-    else:
-        ds_all = c * f
-        dc_all = -s * f
-    colmod = jax.lax.broadcasted_iota(jnp.int32, (1, C * n_freqs), 1) % C
-    xcol = jax.lax.broadcasted_iota(jnp.int32, (T, C), 1)
-    rows = []
-    for j in range(C):
-        mj = (colmod == j).astype(jnp.float32)
-        e = (xcol == j).astype(jnp.float32)
-        rows.append(jnp.concatenate([e, ds_all * mj, dc_all * mj], axis=-1))
-    return jnp.concatenate(rows, axis=0)
-
-
-def _mlp_jvp(t, t_embed, inputs, out, wb, skips, final_act, reps=3):
-    """Forward-mode tangent through the split-layout _mlp_fwd. t/t_embed:
-    (reps*T, E) stacked tangents (t_embed re-enters at skip layers via
-    W_x); relu masks come from the cached primal layer operands (T, .),
-    tiled across the stack."""
-    n, starts = _layer_starts(len(wb), skips)
-
-    def relu_mask(i):
-        if i == n - 1:
-            m = (out > 0.0) if final_act else None
-        else:
-            m = inputs[i + 1] > 0.0
-        if m is None:
-            return None
-        return jnp.concatenate([m.astype(jnp.float32)] * reps, axis=0)
-
-    for i in range(n):
-        p = starts[i]
-        if i in skips:
-            t = _dot(t_embed, wb[p]) + _dot(t, wb[p + 1])
-        else:
-            t = _dot(t, wb[p])
-        m = relu_mask(i)
-        if m is not None:
-            t = t * m
-    return t
-
-
-def _fwd_grad_kernel(x_ref, fcol_ref, ibeta_ref, *refs, order, cfg, has_dir,
-                     has_appr, has_wb, has_wc):
-    idx = 0
-    dir_ref = appr_ref = wb_ref = wc_ref = None
-    if has_dir:
-        dir_ref = refs[idx]; idx += 1
-    if has_appr:
-        appr_ref = refs[idx]; idx += 1
-    if has_wb:
-        wb_ref = refs[idx]; idx += 1
-    if has_wc:
-        wc_ref = refs[idx]; idx += 1
-    n_out = len(OUT_DIMS) + 1
-    net_refs = refs[idx:-n_out]
-    out_refs = refs[-n_out:]
-    nets = _unflatten_nets([r[:] for r in net_refs], order)
-
-    x = x_ref[:]
-    fcol = fcol_ref[:]
-    win_b = None if wb_ref is None else wb_ref[:]
-    out, cache = _forward_tile(
-        x,
-        None if dir_ref is None else dir_ref[:],
-        None if appr_ref is None else appr_ref[0:1],
-        win_b,
-        None if wc_ref is None else wc_ref[:],
-        nets, cfg, fcol, ibeta_ref[:],
-    )
-    # 3-tangent forward-mode through base MLP + sdf head: the extra
-    # matmuls ride the MXU while the kernel stays VMEM-IO bound, so the
-    # canonical SDF gradient is nearly free compared to a second pass
-    T = x.shape[0]
-    tb = _embed_tangents(
-        x, cache["sin_t"], cache["cos_t"], cfg.nf_base, win_b, fcol
-    )
-    t = _mlp_jvp(
-        tb, tb, cache["in_b"], cache["feat"],
-        nets["base"], cfg.skips_base, True,
-    )
-    d = _dot(t, nets["sdf"][0])  # (3T, 1)
-    dsdf = jnp.concatenate([d[0:T], d[T : 2 * T], d[2 * T : 3 * T]], axis=-1)
-
-    for ref, val in zip(out_refs, out + (dsdf,)):
-        ref[:] = val
-
-
-def fused_nerf_heads_grad(x, dir_extra, appr_rows, win_b, win_c, nets,
-                          ibeta, cfg, spp):
-    """fused_nerf_heads + canonical SDF gradient (P, 3) as a 5th output.
-
-    NOT differentiable (no VJP is defined) — rendering-time only; the
-    caller maps dsdf to camera space via one VJP through the warp
-    (J_warp^T dsdf == grad of sdf(warp(x_cam))), replacing a reverse-mode
-    pass through warp+MLP that costs ~55 ms per 8k-ray chunk embedded."""
-    P = x.shape[0]
-    tile = _pick_tile(spp, MAX_TILE_GRAD)
-    assert tile is not None and P % tile == 0
-    tiles_per_pair = spp // tile
-    grid = (P // tile,)
-    snets = _split_nets(
-        nets, cfg,
-        0 if dir_extra is None else dir_extra.shape[1],
-        0 if appr_rows is None else appr_rows.shape[1],
-    )
-    flat, order = _flatten_nets(snets)
-
-    fcol = jnp.asarray(
-        np.repeat(np.asarray(cfg.freqs, np.float32), x.shape[1])[None]
-    )
-    in_specs = [
-        pl.BlockSpec((tile, x.shape[1]), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec(fcol.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-    ]
-    args = [x, fcol, ibeta.reshape(1, 1)]
-    if dir_extra is not None:
-        in_specs.append(pl.BlockSpec((tile, dir_extra.shape[1]),
-                                     lambda i: (i, 0), memory_space=pltpu.VMEM))
-        args.append(dir_extra)
-    if appr_rows is not None:
-        appr8 = jnp.repeat(appr_rows, 8, axis=0)
-        in_specs.append(
-            pl.BlockSpec(
-                (8, appr_rows.shape[1]),
-                lambda i: (i // tiles_per_pair, 0),
-                memory_space=pltpu.VMEM,
-            )
-        )
-        args.append(appr8)
-    for w in (win_b, win_c):
-        if w is not None:
-            wc = jnp.repeat(w.reshape(-1), x.shape[1])[None]
-            in_specs.append(pl.BlockSpec(wc.shape, lambda i: (0, 0),
-                                         memory_space=pltpu.VMEM))
-            args.append(wc)
-    in_specs += _net_specs(flat)
-    args += flat
-
-    out_dims = OUT_DIMS + (3,)
-    kern = functools.partial(
-        _fwd_grad_kernel, order=tuple(order), cfg=cfg,
-        has_dir=dir_extra is not None, has_appr=appr_rows is not None,
-        has_wb=win_b is not None, has_wc=win_c is not None,
-    )
-    return pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=tuple(
-            pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
-            for c in out_dims
-        ),
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((P, c), jnp.float32) for c in out_dims
-        ),
-        interpret=_interpret(),
-        compiler_params=_compiler_params(),
-    )(*args)
-
-
-def nerf_heads_grad_reference(x, dir_extra, appr_rows, win_b, win_c, nets,
-                              ibeta, cfg, spp):
-    """jnp twin of fused_nerf_heads_grad."""
-    out = nerf_heads_reference(x, dir_extra, appr_rows, win_b, win_c, nets,
-                               ibeta, cfg, spp)
-    from lab4d_tpu.nnutils.embedding import fourier_embed
-    from lab4d_tpu.ops.mlp_kernel import mlp_reference
-
-    def sdf_sum(xp):
-        X = fourier_embed(xp, cfg.freqs[: cfg.nf_base], win_b)
-        wb = nets["base"]
-        Ws = [wb[2 * i] for i in range(len(wb) // 2)]
-        bs = [wb[2 * i + 1].reshape(-1) for i in range(len(wb) // 2)]
-        feat = mlp_reference(X, Ws, bs, cfg.skips_base, True)
-        return jnp.sum(feat @ nets["sdf"][0] + nets["sdf"][1].reshape(-1))
-
-    dsdf = jax.grad(sdf_sum)(x)
-    return out + (dsdf,)
+# NOTE: a forward+SDF-gradient kernel variant (fused_nerf_heads_grad:
+# in-kernel 3-tangent forward mode through the base MLP + sdf head,
+# giving the canonical SDF gradient as a 5th output for eval normals)
+# was built in round 3 and DELETED in round 5: the default eval path is
+# all-XLA (the pallas call is a fusion boundary that loses at eval —
+# 308 ms vs 685 ms per 256^2 skel-quad frame, docs/performance.md), so
+# the variant was reachable only through its parity tests. Measured while
+# it lived: dsdf cost +2 ms per 8k-ray chunk in-kernel; the full normal
+# chain through it ran 88 ms embedded vs 89 ms for reverse-mode through
+# warp+MLP — no win to keep ~200 LoC of dead kernel.

@@ -42,6 +42,17 @@ def masked_psnr(pred_rgb, ref_rgb, ref_mask):
     return float(-10.0 * np.log10(max(mse, 1e-12)))
 
 
+def effective_iters(iters, frames, imgs_per_gpu=4):
+    """Optimizer steps per round the REFERENCE actually executes: its
+    train loader is length floor((frames-1)/imgs_per_gpu) with
+    drop_last=True (ref data_utils.py:63-71, vidloader.py:160-161) and
+    train_one_round breaks at min(iters_per_round, len(trainloader))
+    (ref trainer.py:337-339). Both sides must run THIS many steps per
+    round — and put it in the schedule horizon — or the comparison is
+    step-asymmetric (round-4 ran ours at 20 iters/round vs ref's 3)."""
+    return min(iters, max((frames - 1) // imgs_per_gpu, 1))
+
+
 def make_dataset(workdir, seqname, res, num_frames):
     from tests.synthetic import make_synthetic_dataset
 
@@ -56,8 +67,9 @@ def make_dataset(workdir, seqname, res, num_frames):
     return db
 
 
-def run_reference(workdir, seqname, rounds, res, iters):
+def run_reference(workdir, seqname, rounds, res, iters, frames):
     """Train the reference for `rounds` rounds; PSNR after each round."""
+    iters = effective_iters(iters, frames)
     os.chdir(workdir)
     from scripts.reference_runtime import import_reference_trainer
 
@@ -75,7 +87,11 @@ def run_reference(workdir, seqname, rounds, res, iters):
         "--field_type=fg",
         f"--train_res={res}",
         f"--eval_res={min(res, 32)}",
-        f"--num_rounds={max(rounds, 3)}",  # ref pct_start=2/num_rounds needs >2
+        # schedule horizon: clamped to >=3 on BOTH sides (pct_start =
+        # 2/num_rounds must stay <1; ref trainer.py:191-210) — training
+        # still runs exactly `rounds` rounds on both sides, so the LR
+        # schedules are identical and only the executed prefix differs.
+        f"--num_rounds={max(rounds, 3)}",
         f"--iters_per_round={iters}",
         "--imgs_per_gpu=4",
         "--pixels_per_image=8",
@@ -145,10 +161,21 @@ def run_reference(workdir, seqname, rounds, res, iters):
             p = eval_psnr()
         traj.append(p)
         print(f"[ref] round {r}: psnr={p:.2f} diag={diag()}", flush=True)
+
+    # canonical mesh in WORLD units (canonical verts / exp(logscale)),
+    # for the mesh-extraction-parity half of the comparison
+    fld = trainer.model.fields.field_params["fg"]
+    mesh = fld.extract_canonical_mesh(grid_size=64, level=0.0,
+                                      use_visibility=False,
+                                      use_extend_aabb=True)
+    scale = float(fld.logscale.exp())
+    mesh.vertices = np.asarray(mesh.vertices) / scale
+    mesh.export(os.path.join(workdir, "mesh_ref.obj"))
     return traj
 
 
-def run_ours(workdir, seqname, rounds, res, iters):
+def run_ours(workdir, seqname, rounds, res, iters, frames):
+    iters = effective_iters(iters, frames)
     os.chdir(workdir)
     import jax
 
@@ -166,7 +193,7 @@ def run_ours(workdir, seqname, rounds, res, iters):
         "--field_type=fg",
         f"--train_res={res}",
         f"--eval_res={min(res, 32)}",
-        f"--num_rounds={rounds}",
+        f"--num_rounds={max(rounds, 3)}",  # same clamp as the ref side
         f"--iters_per_round={iters}",
         "--imgs_per_gpu=4",
         "--pixels_per_image=8",
@@ -212,7 +239,43 @@ def run_ours(workdir, seqname, rounds, res, iters):
         traj.append(p)
         print(f"[ours] round {r}: psnr={p:.2f} diag={diag()}", flush=True)
     print(f"[ours] psnr trajectory: {traj}", flush=True)
+
+    # canonical mesh in WORLD units — same symmetric settings as the ref
+    # side (grid 64, level 0, no visibility mask, extended aabb)
+    mesh = trainer.extract_canonical_mesh(
+        "fg", grid_size=64, level=0.0, use_visibility=False,
+        use_extend_aabb=True,
+    )
+    import flax.traverse_util as tru
+
+    flat = tru.flatten_dict(trainer.params)
+    logscale = next(
+        np.asarray(v) for k, v in flat.items() if k[-1] == "logscale"
+        and "fg" in "/".join(str(p) for p in k)
+    )
+    mesh.vertices = np.asarray(mesh.vertices) / float(np.exp(logscale))
+    mesh.export(os.path.join(workdir, "mesh_ours.obj"))
     return traj
+
+
+def compare_meshes(workdir):
+    """Mesh-extraction parity: chamfer/f-score between the two exported
+    world-unit canonical meshes, and each vs the GT sphere (radius 0.5,
+    tests/synthetic.py render_sphere_frame). Ref meshes come from the
+    same export settings as lab4d/export.py:174-178 (no visibility
+    mask, level 0)."""
+    from lab4d_tpu.meshlib import load_obj, uv_sphere
+    from lab4d_tpu.utils.metrics import chamfer_distance, fscore
+
+    ref = load_obj(os.path.join(workdir, "mesh_ref.obj"))
+    ours = load_obj(os.path.join(workdir, "mesh_ours.obj"))
+    gt = uv_sphere(radius=0.5, count=[32, 32])
+    return {
+        "chamfer_ours_vs_ref": chamfer_distance(ours, ref),
+        "fscore_ours_vs_ref": fscore(ours, ref, threshold=0.05),
+        "chamfer_ours_vs_gt": chamfer_distance(ours, gt),
+        "chamfer_ref_vs_gt": chamfer_distance(ref, gt),
+    }
 
 
 def main():
@@ -227,13 +290,23 @@ def main():
                     choices=["both", "ref", "ours"])
     args = ap.parse_args()
 
+    # absolute: the dataset config embeds img_path as given, and both
+    # runners chdir(workdir) — a relative workdir would break those paths
+    args.workdir = os.path.abspath(args.workdir)
     os.makedirs(args.workdir, exist_ok=True)
     make_dataset(args.workdir, args.seqname, args.res, args.frames)
 
     if args.which == "both":
         # run each side in its own process (the reference installs
         # process-global stubs/patches)
-        out = {}
+        out = {
+            "settings": {
+                "rounds": args.rounds, "res": args.res,
+                "iters_requested": args.iters,
+                "iters_effective": effective_iters(args.iters, args.frames),
+                "frames": args.frames, "seqname": args.seqname,
+            }
+        }
         for which in ("ref", "ours"):
             cmd = [
                 sys.executable, os.path.abspath(__file__), args.workdir,
@@ -242,7 +315,7 @@ def main():
                 f"--seqname={args.seqname}", f"--which={which}",
             ]
             r = subprocess.run(cmd, capture_output=True, text=True,
-                               timeout=7200)
+                               timeout=28800)
             sys.stdout.write(r.stdout[-4000:])
             if r.returncode != 0:
                 sys.stderr.write(r.stderr[-6000:])
@@ -251,6 +324,8 @@ def main():
                 open(os.path.join(args.workdir, f"psnr_{which}.json"))
             )
             out[which] = part
+        out["psnr_delta_final"] = out["ours"][-1] - out["ref"][-1]
+        out["mesh"] = compare_meshes(args.workdir)
         path = os.path.join(args.workdir, "psnr_compare.json")
         json.dump(out, open(path, "w"), indent=1)
         print(json.dumps(out))
@@ -258,10 +333,10 @@ def main():
 
     if args.which == "ref":
         traj = run_reference(args.workdir, args.seqname, args.rounds,
-                             args.res, args.iters)
+                             args.res, args.iters, args.frames)
     else:
         traj = run_ours(args.workdir, args.seqname, args.rounds, args.res,
-                        args.iters)
+                        args.iters, args.frames)
     json.dump(traj, open(
         os.path.join(args.workdir, f"psnr_{args.which}.json"), "w"))
 

@@ -18,7 +18,7 @@ import lab4d_tpu.nnutils.warping as warp_mod
 
 if variant == "nojac":
     def _nojac(self, xyz, xyz_cam, dir_cam, field2cam, frame_id, inst_id,
-               samples_dict, sched, train, dsdf=None):
+               samples_dict, sched, train):
         return {"eikonal": jnp.zeros(xyz.shape[:-1] + (1,), xyz.dtype)}
     nerf_mod.NeRF.compute_jacobian = _nojac
 elif variant == "noflow":
@@ -45,8 +45,7 @@ elif variant == "nowarp":
 elif variant == "noheads":
     # constant-ish heads: measures everything EXCEPT the field megakernel
     import lab4d_tpu.nnutils.feature as feat_mod
-    def _cheap(self, xyz, dir, frame_id, inst_id, sched, train,
-               want_sdf_grad=False):
+    def _cheap(self, xyz, dir, frame_id, inst_id, sched, train):
         s = jnp.tanh(xyz.sum(-1, keepdims=True))
         d = jax.nn.sigmoid(s)
         return {"density": d, f"density_{self.category}": d,

@@ -110,40 +110,3 @@ def test_no_appearance_path(setup):
     b = nerf_heads_reference(x, None, None, win_b, win_c, nets, IBETA, cfg, spp)
     for va, vb in zip(a, b):
         np.testing.assert_allclose(np.asarray(va), np.asarray(vb), atol=2e-4)
-
-
-def test_fwd_grad_variant_matches_reference(setup):
-    from lab4d_tpu.ops.field_kernel import (
-        fused_nerf_heads_grad,
-        nerf_heads_grad_reference,
-    )
-
-    x, appr, win_b, win_c, nets, cfg, spp = setup
-    a = fused_nerf_heads_grad(x, None, appr, win_b, win_c, nets, IBETA,
-                              cfg, spp)
-    b = nerf_heads_grad_reference(x, None, appr, win_b, win_c, nets, IBETA,
-                                  cfg, spp)
-    assert a[-1].shape == (x.shape[0], 3)
-    for i, (va, vb) in enumerate(zip(a, b)):
-        np.testing.assert_allclose(
-            np.asarray(va), np.asarray(vb), atol=3e-4, rtol=1e-4,
-            err_msg=f"output {i}",
-        )
-
-
-def test_fwd_grad_variant_no_window(setup):
-    from lab4d_tpu.ops.field_kernel import (
-        fused_nerf_heads_grad,
-        nerf_heads_grad_reference,
-    )
-
-    x, appr, _, _, nets, cfg, spp = setup
-    a = fused_nerf_heads_grad(x, None, appr, None, None, nets, IBETA,
-                              cfg, spp)
-    b = nerf_heads_grad_reference(x, None, appr, None, None, nets, IBETA,
-                                  cfg, spp)
-    for i, (va, vb) in enumerate(zip(a, b)):
-        np.testing.assert_allclose(
-            np.asarray(va), np.asarray(vb), atol=3e-4, rtol=1e-4,
-            err_msg=f"output {i}",
-        )

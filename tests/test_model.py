@@ -176,66 +176,6 @@ class TestForwardLoss:
             assert bool(jnp.isfinite(v).all()), f"eval output {k} not finite"
 
 
-@pytest.mark.slow
-def test_dsdf_chain_rule_matches_autodiff_normals():
-    """compute_jacobian(dsdf=...) (megakernel fast path glue) must equal
-    the reverse-mode compute_normal: J_warp^T grad_xyz sdf == grad_cam."""
-    model, batch = make_model_and_batch("fg", "skel-quad")
-    sched = compute_sched(100)
-    variables = jax.jit(model.init, static_argnames=("train",))(
-        RNGS, batch, sched, train=True
-    )
-    eval_batch = {
-        "dataid": batch["dataid"][:, 0],
-        "frameid_sub": batch["frameid_sub"][:, 0],
-        "crop2raw": batch["crop2raw"][:, 0],
-        "hxy": batch["hxy"][:, 0],
-        "geo": batch["geo"],
-    }
-
-    def run(mod, b):
-        from lab4d_tpu.ops.renderer import sample_cam_rays
-
-        b2 = dict(b)
-        geo = b2.pop("geo")
-        b2 = mod.process_frameid(b2)
-        b2["geo"] = geo
-        s = mod.get_samples(b2, train=False)["fg"]
-        f = mod.fields.field_params["fg"]
-        xyz_cam, dir_cam, _, _ = sample_cam_rays(
-            s["hxy"], s["Kinv"], s["near_far"], n_depth=8
-        )
-        bw = f.backward_warp(
-            xyz_cam, dir_cam, s["field2cam"], s["frame_id"], s["inst_id"], s
-        )
-
-        def sdf_sum(p):
-            return f.forward(
-                p, inst_id=s["inst_id"], get_density=False, fused=False
-            ).sum()
-
-        dsdf = jax.grad(sdf_sum)(bw["xyz"])
-        jd_new = f.compute_jacobian(
-            bw["xyz"], xyz_cam, dir_cam, s["field2cam"], s["frame_id"],
-            s["inst_id"], s, None, False, dsdf=dsdf,
-        )
-        jd_old = f.compute_jacobian(
-            bw["xyz"], xyz_cam, dir_cam, s["field2cam"], s["frame_id"],
-            s["inst_id"], s, None, False,
-        )
-        return jd_new, jd_old
-
-    jd_new, jd_old = model.apply(variables, eval_batch, method=run)
-    np.testing.assert_allclose(
-        np.asarray(jd_new["normal"]), np.asarray(jd_old["normal"]),
-        atol=1e-4, rtol=1e-4,
-    )
-    np.testing.assert_allclose(
-        np.asarray(jd_new["eikonal"]), np.asarray(jd_old["eikonal"]),
-        atol=1e-4, rtol=1e-4,
-    )
-
-
 def test_eval_path_stays_unfused():
     """Rendering must not route through the pallas field kernels: the
     kernel call is a fusion boundary that costs more than it saves in the
@@ -363,15 +303,48 @@ def test_sparse_eikonal_matches_dense_loss():
 
 def test_train_loss_unchanged_by_dead_channel_pruning():
     """Dropping the integrated xyz/xyz_cam channels at train must not move
-    any loss value: no training loss reads them (they are eval readouts)."""
+    any loss value: no training loss reads them (they are eval readouts).
+    Compares the full loss_dict with the pruning pop monkeypatched out."""
+    from lab4d_tpu.nnutils.multifields import MultiFields
+
     model, batch = make_model_and_batch("fg", "skel-quad")
     sched = compute_sched(100)
     variables = model.init(RNGS, batch, sched, train=True)
-    loss_dict = model.apply(
-        variables, batch, sched, train=True,
-        rngs={"aux": jax.random.PRNGKey(5), "swap": jax.random.PRNGKey(6)},
-    )
-    for v in jax.tree.leaves(loss_dict):
+    rngs = {"aux": jax.random.PRNGKey(5), "swap": jax.random.PRNGKey(6)}
+    loss_pruned = model.apply(variables, batch, sched, train=True, rngs=rngs)
+
+    orig = MultiFields.query_multifields
+
+    def unpruned(self, samples_dict, sched=None, train=True, flow_thresh=None):
+        # identical query but with the train-time xyz/xyz_cam pop disabled
+        multifields_dict, deltas_dict, aux_dict = {}, {}, {}
+        for cate in self.categories:
+            (
+                multifields_dict[cate],
+                deltas_dict[cate],
+                aux_dict[cate],
+            ) = self.field_params[cate].query_field(
+                samples_dict[cate], sched=sched, train=train,
+                flow_thresh=flow_thresh,
+            )
+        return multifields_dict, deltas_dict, aux_dict
+
+    MultiFields.query_multifields = unpruned
+    try:
+        loss_full = model.apply(variables, batch, sched, train=True,
+                                rngs=rngs)
+    finally:
+        MultiFields.query_multifields = orig
+
+    assert set(loss_pruned) == set(loss_full)
+    for k in loss_pruned:
+        # rtol only absorbs XLA fusion-order rounding (dropping channels
+        # changes fusion boundaries; observed delta ~1e-7 relative)
+        np.testing.assert_allclose(
+            np.asarray(loss_pruned[k]), np.asarray(loss_full[k]),
+            atol=1e-9, rtol=1e-5, err_msg=f"loss {k} moved under pruning",
+        )
+    for v in jax.tree.leaves(loss_pruned):
         assert np.isfinite(float(v))
 
     # eval path must still expose the xyz readout channels
