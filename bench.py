@@ -81,17 +81,18 @@ def hardware_probe(n: int = 20) -> float:
     return (time.perf_counter() - t0) / (4 * n) * 1e3
 
 
-def render_bench() -> dict:
+def render_bench(topk: int) -> dict:
     """Render fps @512^2, full channel set, via the standalone harness
-    (scripts/perf/bench_render.py) in a subprocess, at the render CLI's
-    shipped defaults (eval_topk=8 weight-ranked heavy heads, chunk 2048 —
-    render.py / nerf._eval_topk; exact density+mask, rgb within 60 dB of
-    the every-sample evaluation). Returns {} on failure so a render-side
-    breakage cannot take down the train metric."""
+    (scripts/perf/bench_render.py) in a subprocess. topk=0 is the
+    reference-comparable EXACT every-sample evaluation (ref
+    nerf.py:686-738); topk=8 is the render CLI's shipped default
+    (weight-ranked heavy-head eval — exact density/mask/depth, rgb
+    within 60 dB of exact; nerf._eval_topk). Returns {} on failure so a
+    render-side breakage cannot take down the train metric."""
     script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "scripts", "perf", "bench_render.py")
     try:
-        env = dict(os.environ, LAB4D_EVAL_TOPK="8")
+        env = dict(os.environ, LAB4D_EVAL_TOPK=str(topk))
         out = subprocess.run(
             [sys.executable, script, "512", "2048", "3"],
             capture_output=True, text=True, timeout=1200, env=env,
@@ -191,24 +192,31 @@ def main():
         flush=True,
     )
 
-    rb = render_bench()
-    if rb:
-        # reference render baseline: ~164k rays/s on a 3090 (BASELINE.md)
-        print(
-            json.dumps(
-                {
-                    "metric": "render_fps_512_full_channels",
-                    "value": rb.get("fps"),
-                    "unit": "fps",
-                    "vs_baseline": round(
-                        rb.get("rays_per_sec", 0.0) / 164_000.0, 3
-                    ),
-                    "ms_per_frame": rb.get("ms_per_frame"),
-                    "probe_matmul_ms": round(probe_ms, 3),
-                }
-            ),
-            flush=True,
-        )
+    # both render numbers, every round: exact (reference-comparable,
+    # every-sample eval) AND the shipped topk=8 approximation — the two
+    # metrics changed meaning mid-series in round 4; never again
+    for name, topk in (
+        ("render_fps_512_full_channels_exact", 0),
+        ("render_fps_512_full_channels_topk8", 8),
+    ):
+        rb = render_bench(topk)
+        if rb:
+            # reference render baseline: ~164k rays/s on a 3090 (BASELINE.md)
+            print(
+                json.dumps(
+                    {
+                        "metric": name,
+                        "value": rb.get("fps"),
+                        "unit": "fps",
+                        "vs_baseline": round(
+                            rb.get("rays_per_sec", 0.0) / 164_000.0, 3
+                        ),
+                        "ms_per_frame": rb.get("ms_per_frame"),
+                        "probe_matmul_ms": round(probe_ms, 3),
+                    }
+                ),
+                flush=True,
+            )
 
 
 if __name__ == "__main__":

@@ -11,11 +11,17 @@ features (color in HSV space, image position, relative size). The
 external Track-Anything path, when installed, still takes precedence and
 receives the raw prompt (seg_backends.run_segmentation).
 
-Grammar (case-insensitive, any other word is ignored):
+Grammar (case-insensitive):
   colors:    red orange yellow green cyan blue purple violet magenta
              pink white black gray grey brown
   position:  left right top bottom center middle
   size:      large big largest biggest small little smallest tiny
+
+Category words ("cat", "human", ... — the reference's primary usage)
+are not groundable without an open-vocab model; a prompt containing ONLY
+unrecognized words falls back to the dominant-object heuristic (most
+persistent, then largest, track) — which matches what GroundingDINO
+picks in the reference's single-subject tutorial videos.
 """
 
 from __future__ import annotations
@@ -48,7 +54,9 @@ _SIZES_SMALL = ("small", "little", "smallest", "tiny")
 def parse_prompt(text: str) -> Dict:
     """Extract color / position / size attributes from a free-form prompt."""
     words = [w.strip(".,!?'\"").lower() for w in text.split()]
-    spec = {"colors": [], "achromatic": [], "position": None, "size": None}
+    spec = {"colors": [], "achromatic": [], "position": None, "size": None,
+            "category_fallback": False}
+    matched = False
     for w in words:
         if w in _HUES:
             spec["colors"].append(w)
@@ -60,6 +68,12 @@ def parse_prompt(text: str) -> Dict:
             spec["size"] = "large"
         elif w in _SIZES_SMALL:
             spec["size"] = "small"
+        else:
+            continue
+        matched = True
+    # a non-empty prompt with no recognized attribute is a category word
+    # ("cat", "human"): fall back to the dominant object (see module doc)
+    spec["category_fallback"] = bool(words) and not matched
     return spec
 
 
@@ -185,6 +199,10 @@ def _score(feat: Dict, spec: Dict, area_rank: float) -> float:
         s *= area_rank
     elif spec["size"] == "small":
         s *= 1.0 - area_rank
+    if spec.get("category_fallback"):
+        # dominant object: presence (already in s) breaks toward the
+        # most persistent track; area_rank toward the largest
+        s *= 0.5 + 0.5 * area_rank
     return float(s)
 
 

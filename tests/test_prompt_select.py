@@ -108,3 +108,30 @@ def test_empty_prompt_keeps_all_foreground(tmp_path, threshold_backend):
     m = np.load(f"{outdir}/Annotations/Full-Resolution/{seq}/00000.npy")
     both = np.logical_or(gt_red[0], gt_blue[0])
     assert _iou(m > 0, both) > 0.5
+
+
+def test_category_word_falls_back_to_dominant_object(tmp_path,
+                                                     threshold_backend):
+    """A pure category word ("cat") matches no grammar attribute; the
+    selector must fall back to the dominant (most persistent + largest)
+    track — here the red ball — instead of presence-only scoring.
+    Mirrors the reference's GroundingDINO single-subject behavior."""
+    from preprocess.backends.prompt_select import parse_prompt
+    from preprocess.backends.seg_backends import run_segmentation
+
+    spec = parse_prompt("cat")
+    assert spec["category_fallback"] is True
+    assert parse_prompt("the red ball")["category_fallback"] is False
+    assert parse_prompt("")["category_fallback"] is False
+
+    frames, gt_red, gt_blue = _render_two_balls()
+    seq, outdir = _write_scene(tmp_path, frames)
+    run_segmentation(seq, outdir, text_prompt="cat")
+
+    ious, ious_blue = [], []
+    for i in range(len(frames)):
+        m = np.load(f"{outdir}/Annotations/Full-Resolution/{seq}/{i:05d}.npy")
+        ious.append(_iou(m > 0, gt_red[i]))
+        ious_blue.append(_iou(m > 0, gt_blue[i]))
+    assert np.mean(ious) > 0.7, np.mean(ious)
+    assert np.mean(ious_blue) < 0.2, np.mean(ious_blue)
