@@ -77,6 +77,16 @@ def run_reference(workdir, seqname, rounds, res, iters, frames):
 
     import torch
 
+    # the reference never seeds; at short horizons (9 optimizer steps)
+    # the PSNR trajectory varies by >5 dB run-to-run from pixel-draw
+    # noise alone (measured: [18.0,18.0,19.1] vs [18.0,13.5,14.0] on
+    # identical settings). Pin everything for a reproducible comparison.
+    torch.manual_seed(0)
+    np.random.seed(0)
+    import random as _random
+
+    _random.seed(0)
+
     from absl import flags
 
     argv = [
@@ -107,7 +117,7 @@ def run_reference(workdir, seqname, rounds, res, iters, frames):
 
     import cv2
 
-    def eval_psnr():
+    def eval_psnr(dump=None):
         """Masked PSNR via the reference's own eval machinery (trainer
         load_batch + construct_eval_batch + model.evaluate), GT resized
         to eval_res — same metric lab4d_tpu logs as eval/psnr."""
@@ -131,7 +141,23 @@ def run_reference(workdir, seqname, rounds, res, iters, frames):
                 interpolation=cv2.INTER_NEAREST,
             ) for m in np.asarray(ref_dict["ref_mask"])[..., 0]]
         )
+        if dump is not None:
+            extra = {
+                k: rendered[k].detach().cpu().numpy()
+                for k in ("depth", "mask") if k in rendered
+            }
+            np.savez(dump, pred=pred, ref_rgb=ref_rgb, ref_mask=ref_mask,
+                     **extra)
         return masked_psnr(pred, ref_rgb, ref_mask)
+
+    if rounds == 0:
+        # pure-init evaluation (the prior-driven initialization, zero
+        # optimizer steps) + channel dump for init-parity diagnosis
+        trainer.model.eval()
+        with torch.no_grad():
+            p = eval_psnr(dump=os.path.join(workdir, "init_ref.npz"))
+        print(f"[ref] init: psnr={p:.2f}", flush=True)
+        return [p]
 
     def diag():
         out = {}
@@ -229,6 +255,19 @@ def run_ours(workdir, seqname, rounds, res, iters, frames):
             out["aabb_err"] = str(e)
         return out
 
+    if rounds == 0:
+        out, ref = trainer.render_frames(trainer.eval_fid, return_ref=True)
+        p = masked_psnr(out["rgb"], ref["rgb"], ref["mask"][..., 0])
+        np.savez(
+            os.path.join(workdir, "init_ours.npz"),
+            pred=np.asarray(out["rgb"]), ref_rgb=np.asarray(ref["rgb"]),
+            ref_mask=np.asarray(ref["mask"][..., 0]),
+            depth=np.asarray(out.get("depth")),
+            mask=np.asarray(out.get("mask")),
+        )
+        print(f"[ours] init: psnr={p:.2f}", flush=True)
+        return [p]
+
     traj = []
     for r in range(rounds):
         trainer.train_one_round(r)
@@ -325,7 +364,8 @@ def main():
             )
             out[which] = part
         out["psnr_delta_final"] = out["ours"][-1] - out["ref"][-1]
-        out["mesh"] = compare_meshes(args.workdir)
+        if args.rounds > 0:  # rounds=0 is init-only, no meshes exported
+            out["mesh"] = compare_meshes(args.workdir)
         path = os.path.join(args.workdir, "psnr_compare.json")
         json.dump(out, open(path, "w"), indent=1)
         print(json.dumps(out))

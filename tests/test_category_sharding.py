@@ -130,3 +130,62 @@ class TestCategoryModelSharding:
             for x in opt_leaves
             if hasattr(x, "sharding")
         )
+
+
+def _masked_psnr(out, ref):
+    m = ref["mask"][..., 0].reshape(-1) > 0.5
+    if m.sum() == 0:
+        return float("nan")
+    a = np.asarray(out["rgb"]).reshape(-1, 3)[m]
+    b = np.asarray(ref["rgb"]).reshape(-1, 3)[m]
+    return float(-10 * np.log10(max(float(np.mean((a - b) ** 2)), 1e-12)))
+
+
+@pytest.mark.slow
+def test_sharded_training_converges_like_unsharded(tmp_path_factory):
+    """Multi-video training with video-sharded per-video tables must not
+    just run a step (the dryrun covers that) — it must LEARN like the
+    unsharded configuration: same dataset, same budget, eval PSNR within
+    1 dB, both improving over init. Parity target: the reference's
+    category model trains across GPUs with per-video params on their
+    video's GPU and converges identically (category_model.rst:41,
+    embedding.py:230-294)."""
+    from tests.synthetic import make_synthetic_dataset
+    from lab4d_tpu.engine.trainer import Trainer
+
+    work = str(tmp_path_factory.mktemp("catconv"))
+    make_synthetic_dataset(
+        f"{work}/database", seqname="catconv", num_vids=2, num_frames=8,
+        res=48,
+    )
+
+    def train_and_eval(tag, ngpu, video_shards):
+        opts = _default_opts()
+        opts.update(
+            seqname="catconv", logname=f"conv-{tag}", fg_motion="bob",
+            field_type="fg", single_inst=False, train_res=48, eval_res=16,
+            num_rounds=3, iters_per_round=10, imgs_per_gpu=1,
+            pixels_per_image=4, ngpu=ngpu, video_shards=video_shards,
+            num_workers=1, save_freq=100, geo_init_steps=50,
+            database_root=f"{work}/database", logroot=f"{work}/logdir",
+        )
+        t = Trainer(opts)
+        out, ref = t.render_frames(t.eval_fid, return_ref=True)
+        p_init = _masked_psnr(out, ref)
+        t.trainloader.start()
+        try:
+            for r in range(3):
+                t.train_one_round(r)
+                t.current_round += 1
+                t.update_geometry_aux()
+        finally:
+            t.trainloader.stop()
+        out, ref = t.render_frames(t.eval_fid, return_ref=True)
+        return p_init, _masked_psnr(out, ref)
+
+    init_s, final_s = train_and_eval("sharded", ngpu=8, video_shards=2)
+    init_u, final_u = train_and_eval("unsharded", ngpu=1, video_shards=1)
+
+    assert final_s > init_s + 0.5, (init_s, final_s)
+    assert final_u > init_u + 0.5, (init_u, final_u)
+    assert abs(final_s - final_u) < 1.0, (final_s, final_u)
