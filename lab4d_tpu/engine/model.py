@@ -330,6 +330,21 @@ class DVRModel(nn.Module):
 
     def evaluate_rays(self, samples_dict, sched=None):
         """Per-chunk half of eval: render the rays in samples_dict[cate]
-        ["hxy"] (set by the caller per chunk) against prepared samples."""
+        ["hxy"] (set by the caller per chunk) against prepared samples.
+
+        Every non-mask channel is blended with the rendered mask
+        (render * mask + 0 * (1-mask)) exactly like the reference's
+        evaluate (ref model.py:201-206) — without it, low-opacity pixels
+        report the weight-NORMALIZED channel value (integrate divides by
+        the ray's total mass) instead of the black-composited one, and
+        eval PSNR/depth read ~unattenuated field values (measured 4 dB
+        init-PSNR discrepancy vs the reference on the synthetic scene)."""
         results = self.render_samples(samples_dict, sched=sched, train=False)
-        return results["rendered"]
+        rendered = results["rendered"]
+        mask = rendered.get("mask")
+        if mask is not None:
+            rendered = {
+                k: v if "mask" in k else v * mask
+                for k, v in rendered.items()
+            }
+        return rendered

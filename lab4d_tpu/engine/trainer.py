@@ -76,9 +76,20 @@ class ClipState(NamedTuple):
 
 
 def clip_with_norm(max_norm: float) -> optax.GradientTransformation:
-    """optax.clip_by_global_norm with the norm exposed in its state, so
-    the train step can log it without recomputing a ~100-leaf
-    optax.global_norm (a second full reduce pass per step)."""
+    """Reference-parity large-gradient handling, with the pre-check
+    global norm exposed in the state so the train step can log it
+    without a second ~100-leaf optax.global_norm reduce pass.
+
+    The reference does NOT take clipped steps: check_grad
+    (ref trainer.py:581-604) zeroes the gradients whenever their global
+    norm exceeds the threshold (and additionally restores a two-round-old
+    snapshot once one exists) — so a spiking step is SKIPPED, not
+    shrunk. Round-4 shipped `scale = max_norm/gnorm` clipping here and
+    it measurably destabilized matched-budget training vs the reference
+    (60-step synthetic comparison: ours dipped to 9.3 dB / ended -3.0 dB
+    behind; with skip semantics the dip matches — psnr_compare.json).
+    Non-finite norms also skip (safer than the reference, whose
+    `nan > thresh` comparison is False and lets NaN grads through)."""
 
     def init_fn(params):
         del params
@@ -87,10 +98,11 @@ def clip_with_norm(max_norm: float) -> optax.GradientTransformation:
     def update_fn(updates, state, params=None):
         del params
         gnorm = optax.global_norm(updates)
-        # same semantics as optax.clip_by_global_norm (incl. nan passthru)
-        scale = jnp.where(gnorm < max_norm, 1.0, max_norm / gnorm)
+        ok = gnorm < max_norm  # False for spikes AND non-finite norms
         return (
-            jax.tree.map(lambda g: g * scale, updates),
+            # where, not multiply: nan * 0.0 would leak the NaN through
+            jax.tree.map(lambda g: jnp.where(ok, g, jnp.zeros_like(g)),
+                         updates),
             ClipState(grad_norm=gnorm),
         )
 

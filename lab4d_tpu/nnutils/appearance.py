@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import flax.linen as nn
 
+from lab4d_tpu.nnutils.linear import TorchDense
+
 from lab4d_tpu.nnutils.embedding import FrameInfo
 from lab4d_tpu.nnutils.time_mlp import TimeMLP
 
@@ -19,7 +21,7 @@ class AppearanceEmbedding(TimeMLP):
 
     def setup(self):
         super().setup()
-        self.output = nn.Dense(self.appr_channels)
+        self.output = TorchDense(self.appr_channels)
 
     def get_vals(self, frame_id=None):
         return self.output(self.forward_feat(self.time_embedding(frame_id)))

@@ -15,9 +15,11 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import flax.linen as nn
 
 from lab4d_tpu.nnutils.embedding import InstEmbedding
+from lab4d_tpu.nnutils.linear import TorchDense, torch_linear_init
 
 
 def _fused_enabled() -> bool:
@@ -96,26 +98,22 @@ class BaseMLP(nn.Module):
         row_ch = 0 if row_code is None else row_code.shape[-1]
         code_ch = 0 if const_code is None else const_code.shape[-1]
         in_ch = feat_ch + row_ch + code_ch
-        dense_init = nn.initializers.lecun_normal()
-
-        # declare parameters (layout identical for both execution paths)
+        # torch.nn.Linear default init on every layer (reference parity;
+        # see torch_linear_init)
         weights, biases = [], []
         ch = in_ch
         for i in range(self.D):
             if i in self.skips:
                 ch += in_ch
-            w = self.param(
-                f"linear_{i + 1}", lambda k, s: dense_init(k, s), (ch, self.W)
-            )
-            b = self.param(f"bias_{i + 1}", nn.initializers.zeros, (self.W,))
+            li = torch_linear_init(ch)
+            w = self.param(f"linear_{i + 1}", li, (ch, self.W))
+            b = self.param(f"bias_{i + 1}", li, (self.W,))
             weights.append(w)
             biases.append(b)
             ch = self.W
-        w = self.param(
-            "linear_final", lambda k, s: dense_init(k, s),
-            (ch, self.out_channels),
-        )
-        b = self.param("bias_final", nn.initializers.zeros, (self.out_channels,))
+        li = torch_linear_init(ch)
+        w = self.param("linear_final", li, (ch, self.out_channels))
+        b = self.param("bias_final", li, (self.out_channels,))
         weights.append(w)
         biases.append(b)
 

@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from lab4d_tpu.nnutils.linear import TorchDense
+
 
 class FrameInfo:
     """Static per-dataset frame metadata (host-side numpy, baked as jit
@@ -222,8 +224,8 @@ class TimeEmbedding(nn.Module):
         self.inst_embedding = InstEmbedding(
             self.frame_info.num_vids, inst_channels=self.out_channels
         )
-        self.mapping1 = nn.Dense(self.out_channels)
-        self.mapping2 = nn.Dense(self.out_channels)
+        self.mapping1 = TorchDense(self.out_channels)
+        self.mapping2 = TorchDense(self.out_channels)
 
     def frame_to_tid(self, frame_id: jnp.ndarray) -> jnp.ndarray:
         fi = self.frame_info

@@ -6,6 +6,8 @@ import numpy as np
 import jax.numpy as jnp
 import flax.linen as nn
 
+from lab4d_tpu.nnutils.linear import TorchDense
+
 from lab4d_tpu.nnutils.embedding import FrameInfo
 from lab4d_tpu.nnutils.time_mlp import TimeMLP
 
@@ -23,7 +25,7 @@ class IntrinsicsMLP(TimeMLP):
 
     def setup(self):
         super().setup()
-        self.focal_head = [nn.Dense(self.W // 2), nn.Dense(2)]
+        self.focal_head = [TorchDense(self.W // 2), TorchDense(2)]
         self.base_logfocal = self.param(
             "base_logfocal", nn.initializers.zeros, (self.frame_info.num_vids, 2)
         )

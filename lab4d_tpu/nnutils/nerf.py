@@ -25,6 +25,7 @@ import flax.linen as nn
 
 from lab4d_tpu.nnutils.appearance import AppearanceEmbedding
 from lab4d_tpu.nnutils.base import CondMLP, embed_cond_mlp
+from lab4d_tpu.nnutils.linear import TorchDense
 from lab4d_tpu.nnutils.embedding import FrameInfo, PosEmbedding
 from lab4d_tpu.nnutils.pose import CameraMLP
 from lab4d_tpu.nnutils.visibility import VisField
@@ -79,8 +80,10 @@ def _eval_topk():
     int; unset/0 = exact all-sample evaluation).
 
     When set to K, rendering still computes density and the volume
-    integration weights from ALL n_depth union samples (so mask/depth and
-    the importance distribution are exact), but evaluates the expensive
+    integration weights from ALL n_depth union samples (so the mask —
+    total integration mass — and the importance distribution are exact;
+    depth integrates over the K selected samples and is exact only where
+    weights concentrate), but evaluates the expensive
     per-sample channels — rgb, vis, feature, the normal/eikonal SDF vjp,
     the cycle warp — only at the K highest-weight samples of each ray.
     The selected weights are renormalized to each ray's exact total
@@ -177,8 +180,8 @@ class NeRF(nn.Module):
                 appr_channels=self.appr_channels,
                 num_freq_t=self.appr_num_freq_t,
             )
-        self.sdf_head = nn.Dense(1)
-        self.rgb_head = [nn.Dense(self.W // 2), nn.Dense(3)]
+        self.sdf_head = TorchDense(1)
+        self.rgb_head = [TorchDense(self.W // 2), TorchDense(3)]
 
         self.logibeta = self.param(
             "logibeta",

@@ -15,6 +15,8 @@ import numpy as np
 import jax.numpy as jnp
 import flax.linen as nn
 
+from lab4d_tpu.nnutils.linear import TorchDense
+
 from lab4d_tpu.nnutils.embedding import PosEmbedding
 
 
@@ -25,8 +27,8 @@ class _CouplingMLP(nn.Module):
     @nn.compact
     def __call__(self, h):
         for _ in range(self.depth):
-            h = nn.relu(nn.Dense(self.width)(h))
-        out = nn.Dense(2)(h)  # (log_scale, translation)
+            h = nn.relu(TorchDense(self.width)(h))
+        out = TorchDense(2)(h)  # (log_scale, translation)
         return out
 
 

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from lab4d_tpu.nnutils.base import CondMLP
+from lab4d_tpu.nnutils.linear import TorchDense
 from lab4d_tpu.nnutils.embedding import FrameInfo
 from lab4d_tpu.nnutils.time_mlp import TimeMLP
 from lab4d_tpu.utils.quat import (
@@ -53,8 +54,8 @@ class CameraMLP(TimeMLP):
 
     def setup(self):
         super().setup()
-        self.trans_head = [nn.Dense(self.W // 2), nn.Dense(3)]
-        self.quat_head = [nn.Dense(self.W // 2), nn.Dense(4)]
+        self.trans_head = [TorchDense(self.W // 2), TorchDense(3)]
+        self.quat_head = [TorchDense(self.W // 2), TorchDense(4)]
         # identity quaternion init (overwritten from priors by mlp_init;
         # the reference uses zeros + base_init, pose.py:82,96-102)
         self.base_quat = self.param(
@@ -105,8 +106,8 @@ class ArticulationFlatMLP(TimeMLP):
 
     def setup(self):
         super().setup()
-        self.trans_head = [nn.Dense(self.W // 2), nn.Dense(3 * self.num_se3)]
-        self.so3_head = [nn.Dense(self.W // 2), nn.Dense(3 * self.num_se3)]
+        self.trans_head = [TorchDense(self.W // 2), TorchDense(3 * self.num_se3)]
+        self.so3_head = [TorchDense(self.W // 2), TorchDense(3 * self.num_se3)]
 
     def forward_arti(self, t_embed, inst_id=None):
         t_feat = self.forward_feat(t_embed)
@@ -151,7 +152,7 @@ class ArticulationSkelMLP(TimeMLP):
         super().setup()
         self.skeleton: Skeleton = get_predefined_skeleton(self.skel_type)
         self.num_se3 = self.skeleton.num_joints
-        self.so3_head = [nn.Dense(self.W // 2), nn.Dense(3 * self.num_se3)]
+        self.so3_head = [TorchDense(self.W // 2), TorchDense(3 * self.num_se3)]
         self.logscale = self.param("logscale", nn.initializers.zeros, (1,))
         self.shift = self.param("shift", nn.initializers.zeros, (3,))
         self.log_bone_len = CondMLP(

@@ -139,3 +139,28 @@ def test_freeze_bone_len_labels():
     assert lab[("fields", "mlp", "kernel")] == "base"
     lab2 = flax.traverse_util.flatten_dict(param_labels(params))
     assert lab2[("fields", "warp", "articulation", "log_bone_len")] != "frozen"
+
+
+def test_large_grad_steps_are_skipped_not_clipped():
+    """Reference parity (ref trainer.py:581-604): a step whose global
+    grad norm exceeds the threshold must be SKIPPED (zero update), not
+    applied at clipped magnitude; norms below pass through untouched,
+    and the pre-check norm is exposed in the state either way."""
+    from lab4d_tpu.engine.trainer import clip_with_norm
+
+    tx = clip_with_norm(5.0)
+    g_small = {"w": jnp.asarray([3.0, 4.0])}  # norm 5.0 is NOT < 5.0
+    g_big = {"w": jnp.asarray([30.0, 40.0])}
+    g_nan = {"w": jnp.asarray([np.nan, 1.0])}
+    state = tx.init(g_small)
+
+    out, state = tx.update({"w": jnp.asarray([0.3, 0.4])}, state)
+    np.testing.assert_allclose(np.asarray(out["w"]), [0.3, 0.4], rtol=1e-6)
+    assert float(state.grad_norm) == pytest.approx(0.5)
+
+    out, state = tx.update(g_big, state)
+    np.testing.assert_array_equal(np.asarray(out["w"]), [0.0, 0.0])
+    assert float(state.grad_norm) == pytest.approx(50.0)
+
+    out, state = tx.update(g_nan, state)  # non-finite: skip too
+    np.testing.assert_array_equal(np.asarray(out["w"]), [0.0, 0.0])
