@@ -13,7 +13,7 @@ from tests.test_model import RNGS, make_model_and_batch
 
 @pytest.fixture(scope="module")
 def model_params_batch():
-    model, batch = make_model_and_batch(fg_motion="skel-quad", M=2, N=8)
+    model, batch = make_model_and_batch(fg_motion="skel-quad")
     sched = compute_sched(0)
     params = jax.jit(model.init, static_argnames=("train",))(
         RNGS, batch, sched, train=True

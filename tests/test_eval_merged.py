@@ -13,7 +13,7 @@ from tests.test_model import RNGS, make_model_and_batch
 
 @pytest.mark.parametrize("fg_motion", ["rigid", "skel-quad"])
 def test_merged_eval_matches_legacy(monkeypatch, fg_motion):
-    model, batch = make_model_and_batch(fg_motion=fg_motion, M=2, N=8)
+    model, batch = make_model_and_batch(fg_motion=fg_motion)
     sched = compute_sched(0)
     params = jax.jit(model.init, static_argnames=("train",))(
         RNGS, batch, sched, train=True
@@ -51,7 +51,7 @@ def test_topk_eval_full_budget_matches_exact(monkeypatch, fg_motion):
     sample, and its re-solved density must reproduce the exact merged
     path's integration weights — so every rendered channel agrees even on
     an untrained model (where integration weights are spread out)."""
-    model, batch = make_model_and_batch(fg_motion=fg_motion, M=2, N=8)
+    model, batch = make_model_and_batch(fg_motion=fg_motion)
     sched = compute_sched(0)
     params = jax.jit(model.init, static_argnames=("train",))(
         RNGS, batch, sched, train=True
@@ -108,7 +108,7 @@ def test_topk8_rgb_close_to_exact_on_distilled_model(monkeypatch):
 
     from lab4d_tpu.engine.init_utils import fit_geometry
 
-    model, batch = make_model_and_batch("fg", "rigid", M=2, N=8)
+    model, batch = make_model_and_batch("fg", "rigid")
     sched = compute_sched(4000)  # PE fully annealed
     params = jax.jit(model.init, static_argnames=("train",))(
         RNGS, batch, sched, train=True
