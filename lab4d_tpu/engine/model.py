@@ -343,8 +343,14 @@ class DVRModel(nn.Module):
         rendered = results["rendered"]
         mask = rendered.get("mask")
         if mask is not None:
+
+            def blend(v):
+                # some channels are (M,N) not (M,N,C) (e.g. eikonal mean)
+                m = mask if v.ndim == mask.ndim else mask[..., 0]
+                return v * m
+
             rendered = {
-                k: v if "mask" in k else v * mask
+                k: v if "mask" in k else blend(v)
                 for k, v in rendered.items()
             }
         return rendered

@@ -4,6 +4,7 @@ compute_flow + cycle_loss path exactly."""
 
 import numpy as np
 import jax
+import pytest
 
 import lab4d_tpu.nnutils.nerf as nerf_mod
 import lab4d_tpu.nnutils.deformable as deform_mod
@@ -12,19 +13,28 @@ from __graft_entry__ import _build
 
 
 def _loss_dict(model, batch, params):
+    # jit per call site: the monkeypatched variant traces separately;
+    # eager full-model applies cost ~60 s each on CPU
     sched = compute_sched(100)
-    return model.apply(
-        {"params": params}, batch, sched, train=True,
-        rngs={"aux": jax.random.PRNGKey(7), "swap": jax.random.PRNGKey(8)},
-    )
+
+    def f(p, b):
+        return model.apply(
+            {"params": p}, b, sched, train=True,
+            rngs={"aux": jax.random.PRNGKey(7), "swap": jax.random.PRNGKey(8)},
+        )
+
+    return jax.jit(f)(params, batch)
 
 
+@pytest.mark.slow
 def test_fused_flow_cycle_matches_separate(monkeypatch):
     model, batch = _build(M=4, N=8, num_frames=16, fg_motion="skel-quad")
     rngs = {"params": jax.random.PRNGKey(0), "aux": jax.random.PRNGKey(1),
             "swap": jax.random.PRNGKey(2)}
     sched = compute_sched(0)
-    params = model.init(rngs, batch, sched, train=True)["params"]
+    params = jax.jit(model.init, static_argnames=("train",))(
+        rngs, batch, sched, train=True
+    )["params"]
 
     fused = _loss_dict(model, batch, params)
 

@@ -221,6 +221,7 @@ def init_params_with_intrinsics_prior(model, batch, sched):
     return {"params": params}
 
 
+@pytest.mark.slow
 def test_fused_kernel_train_parity(monkeypatch):
     """The fused field-megakernel train path (pallas interpret mode on
     CPU) must reproduce the jnp decomposition's losses and gradients.
@@ -239,13 +240,16 @@ def test_fused_kernel_train_parity(monkeypatch):
         )
         return sum(jax.tree.leaves(ld)), ld
 
-    (t0, ld0), g0 = jax.value_and_grad(loss_fn, has_aux=True)(
-        variables["params"]
-    )
+    # jit each variant (the fused flag is read at trace time): eager
+    # op-by-op execution of the full fwd+bwd took ~200 s on CPU, the
+    # jitted pair compiles+runs in a fraction of that
+    (t0, ld0), g0 = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True)
+    )(variables["params"])
     monkeypatch.setattr(base_mod, "_fused_enabled", lambda: True)
-    (t1, ld1), g1 = jax.value_and_grad(loss_fn, has_aux=True)(
-        variables["params"]
-    )
+    (t1, ld1), g1 = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True)
+    )(variables["params"])
     for k in ld0:
         np.testing.assert_allclose(
             float(ld0[k]), float(ld1[k]), atol=1e-4, rtol=1e-3, err_msg=k
@@ -301,6 +305,7 @@ def test_sparse_eikonal_matches_dense_loss():
     )
 
 
+@pytest.mark.slow
 def test_train_loss_unchanged_by_dead_channel_pruning():
     """Dropping the integrated xyz/xyz_cam channels at train must not move
     any loss value: no training loss reads them (they are eval readouts).
@@ -311,7 +316,11 @@ def test_train_loss_unchanged_by_dead_channel_pruning():
     sched = compute_sched(100)
     variables = model.init(RNGS, batch, sched, train=True)
     rngs = {"aux": jax.random.PRNGKey(5), "swap": jax.random.PRNGKey(6)}
-    loss_pruned = model.apply(variables, batch, sched, train=True, rngs=rngs)
+
+    def apply_loss(v, b):
+        return model.apply(v, b, sched, train=True, rngs=rngs)
+
+    loss_pruned = jax.jit(apply_loss)(variables, batch)
 
     orig = MultiFields.query_multifields
 
@@ -331,8 +340,7 @@ def test_train_loss_unchanged_by_dead_channel_pruning():
 
     MultiFields.query_multifields = unpruned
     try:
-        loss_full = model.apply(variables, batch, sched, train=True,
-                                rngs=rngs)
+        loss_full = jax.jit(apply_loss)(variables, batch)
     finally:
         MultiFields.query_multifields = orig
 

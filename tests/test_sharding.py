@@ -73,10 +73,27 @@ class TestDataParallel:
 
     def test_sharded_matches_single_device_loss(self, setup):
         """The sharded forward must equal the single-device forward (DP is
-        numerically a pure batch split)."""
+        numerically a pure batch split).
+
+        Compared per loss TERM rather than on the summed scalar: the
+        reducer is the reference's nonzero-mean (utils/loss.py:36),
+        whose nonzero COUNT is discontinuous — a pixel whose squared
+        error lands on exact 0.0 under one reduction order and ~1e-16
+        under another flips the denominator by 1, moving that term by
+        ~1/npix (observed 1.8% on the mask term with bit-identical
+        rendered channels). Terms are gated at 2e-4 relative plus one
+        count-flip allowance."""
         model, batch, params = setup
         sched = compute_sched(0)
-        single = float(jax.jit(lambda p: _loss(model, p, batch, sched))(params))
+
+        def loss_dict(p, b):
+            return model.apply(
+                {"params": p}, b, sched, train=True,
+                rngs={"aux": jax.random.PRNGKey(3),
+                      "swap": jax.random.PRNGKey(4)},
+            )
+
+        single = jax.device_get(jax.jit(loss_dict)(params, batch))
 
         mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
         repl = NamedSharding(mesh, P())
@@ -85,9 +102,14 @@ class TestDataParallel:
             k: jax.device_put(v, data_sh) for k, v in batch.items() if k != "geo"
         }
         sharded["geo"] = jax.device_put(batch["geo"], repl)
-        multi = float(
-            jax.jit(lambda p, b: _loss(model, p, b, sched))(
-                jax.device_put(params, repl), sharded
-            )
+        multi = jax.device_get(
+            jax.jit(loss_dict)(jax.device_put(params, repl), sharded)
         )
-        assert single == pytest.approx(multi, rel=2e-4)
+
+        assert set(single) == set(multi)
+        # one count flip moves a nonzero-mean term by at most 1/npix
+        npix = batch["rgb"].shape[0] * batch["rgb"].shape[2]
+        for k in single:
+            s, m = float(single[k]), float(multi[k])
+            tol = 2e-4 * abs(s) + abs(s) / npix + 1e-9
+            assert abs(s - m) <= tol, (k, s, m)
