@@ -857,24 +857,40 @@ class Trainer:
 
         out = {}
         refs = {}
+        # rays per evaluate_chunk call. Capped at 8192: the single-call
+        # whole-frame eval graph MISCOMPILES on the tunneled TPU at
+        # >=16384 rays (diagonal-streak garbage renders, mask mean 0.60
+        # vs 0.21; the identical program is correct on CPU and correct
+        # on TPU when chunked — round-5 debug, docs/qa.md). Chunking
+        # also bounds eval VMEM at high render_res.
+        chunk = min(res * res, 8192)
         for fid in fids:
             pair = data_utils.load_eval_frame(
                 self.eval_datasets, int(fid), self.data_info
             )
             crop2raw = pair["crop2raw"][:1].copy()
             crop2raw[:, :2] *= opts["train_res"] / res
-            batch = {
-                "dataid": jnp.asarray(pair["dataid"][:1].astype(np.int32)),
-                "frameid_sub": jnp.asarray(
-                    pair["frameid_sub"][:1].astype(np.int32)
-                ),
-                "crop2raw": jnp.asarray(crop2raw),
-                "hxy": jnp.asarray(hxy[None]),
-                "geo": geo,
+            parts = []
+            for i in range(0, res * res, chunk):
+                batch = {
+                    "dataid": jnp.asarray(pair["dataid"][:1].astype(np.int32)),
+                    "frameid_sub": jnp.asarray(
+                        pair["frameid_sub"][:1].astype(np.int32)
+                    ),
+                    "crop2raw": jnp.asarray(crop2raw),
+                    "hxy": jnp.asarray(hxy[None, i : i + chunk]),
+                    "geo": geo,
+                }
+                parts.append(jax.device_get(  # ONE host transfer per chunk
+                    self._eval_render(self.params, batch)
+                ))
+            rendered = {
+                k: (
+                    np.concatenate([p[k] for p in parts], axis=1)
+                    if parts[0][k].ndim >= 3 else parts[0][k]
+                )
+                for k in parts[0]
             }
-            rendered = jax.device_get(  # ONE host transfer for all keys
-                self._eval_render(self.params, batch)
-            )
             for k, v in rendered.items():
                 if v.ndim < 3:
                     continue

@@ -92,8 +92,12 @@ def _eval_topk():
     the only approximation is that channel VALUES come from the K
     most-weighted samples (measured on the 2-round synthetic checkpoint,
     a worst case with diffuse weights: rgb PSNR vs exact = 59.9 dB at
-    K=8, 61.8 at K=12, 64.3 at K=16, identical masks; see
-    docs/performance.md). The render CLI defaults to K=8;
+    K=8, 61.8 at K=12, 64.3 at K=16, identical masks; and on a CONVERGED
+    20-round adversarial-scene checkpoint via scripts/perf/
+    topk_fidelity.py: K=8 vs exact rgb 39.7 dB, mask max err 6e-5,
+    depth median err 2e-4, and quality-vs-GT cost 0.05 dB — exact
+    21.04 dB vs topk 20.99; see docs/performance.md). The render CLI
+    defaults to K=8;
     LAB4D_EVAL_TOPK=0 restores the reference's every-sample evaluation
     (lab4d nerf.py:686-738)."""
     v = os.environ.get("LAB4D_EVAL_TOPK", "").strip()

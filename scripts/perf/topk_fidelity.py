@@ -46,11 +46,20 @@ def main():
     import lab4d_tpu.render  # noqa: F401  (render-only flags e.g. eval_topk)
     from lab4d_tpu.config import get_config
 
-    flags.FLAGS([
-        "topk_fidelity", f"--flagfile={rundir}/opts.log",
-        "--load_suffix=latest", "--logname=" + args.logname,
-        "--seqname=" + args.seqname,
-    ])
+    # replay only the flags this binary registers (opts.log also snapshots
+    # absl builtins like --nohelp that aren't defined outside app.run)
+    known = set(flags.FLAGS._flags().keys())
+    argv = ["topk_fidelity"]
+    for line in open(f"{rundir}/opts.log"):
+        line = line.strip()
+        name = line.lstrip("-").split("=", 1)[0]
+        if name.startswith("no") and name[2:] in known:
+            argv.append(line)
+        elif name in known:
+            argv.append(line)
+    argv += ["--load_suffix=latest", "--logname=" + args.logname,
+             "--seqname=" + args.seqname]
+    flags.FLAGS(argv)
     opts = get_config()
     opts["load_path"] = os.path.join(rundir, "ckpt_latest.flax")
 
