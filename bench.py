@@ -176,6 +176,8 @@ def main():
     dt = time.perf_counter() - t0
 
     rays_per_sec = rays * iters / dt
+
+
     # driver metric FIRST (one parseable line), extra metrics after;
     # probe_matmul_ms is the fixed-protocol hardware-window probe that
     # makes numbers comparable across windows (docs/performance.md)
