@@ -281,11 +281,8 @@ def render_batch(model, params, batch, geo_state, categories, chunk=None,
     print("rendering time: %.3f s (%d frames)" % (time.time() - start, n_frames))
 
     rendered = {k: np.stack(v) for k, v in rendered_all.items()}
-    mask = rendered.get("mask")
-    if mask is not None:
-        for k in rendered:
-            if "mask" not in k:
-                rendered[k] = rendered[k] * mask
+    # mask blending (ref model.py:201-206) happens ON DEVICE in
+    # evaluate_rays — blending again here would square the mask
     return rendered
 
 
