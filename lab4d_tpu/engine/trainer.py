@@ -89,7 +89,15 @@ def clip_with_norm(max_norm: float) -> optax.GradientTransformation:
     (60-step synthetic comparison: ours dipped to 9.3 dB / ended -3.0 dB
     behind; with skip semantics the dip matches — psnr_compare.json).
     Non-finite norms also skip (safer than the reference, whose
-    `nan > thresh` comparison is False and lets NaN grads through)."""
+    `nan > thresh` comparison is False and lets NaN grads through).
+
+    "Skip" matches the reference exactly, including its imperfection:
+    AdamW downstream still sees the zeroed update, so momentum decays
+    and continues to move params, and decoupled weight decay applies —
+    identical to torch AdamW stepping on zeroed grads after the
+    reference's optimizer.zero_grad(). The reference's additional
+    restore-from-two-rounds-ago on a spike lives in Trainer.check_grad
+    (it reads this transform's grad_norm from the optimizer state)."""
 
     def init_fn(params):
         del params
@@ -843,26 +851,37 @@ class Trainer:
         if not hasattr(self, "_eval_render"):
             model = self.model
 
-            def eval_render(params, batch):
+            def eval_prep(params, batch):
                 return model.apply(
-                    {"params": params},
-                    batch,
-                    sched=None,
-                    method=model.evaluate_chunk,
+                    {"params": params}, batch,
+                    method=model.prepare_eval_samples,
                 )
 
-            self._eval_render = jax.jit(eval_render)
+            def eval_rays(params, samples, hxy_c):
+                samples_c = {
+                    cate: {**samples[cate], "hxy": hxy_c}
+                    for cate in samples
+                }
+                return model.apply(
+                    {"params": params}, samples_c, sched=None,
+                    method=model.evaluate_rays,
+                )
+
+            self._eval_prep = jax.jit(eval_prep)
+            self._eval_render = jax.jit(eval_rays)
 
         import cv2
 
         out = {}
         refs = {}
-        # rays per evaluate_chunk call. Capped at 8192: the single-call
+        # rays per evaluate_rays call. Capped at 8192: the single-call
         # whole-frame eval graph MISCOMPILES on the tunneled TPU at
         # >=16384 rays (diagonal-streak garbage renders, mask mean 0.60
         # vs 0.21; the identical program is correct on CPU and correct
         # on TPU when chunked — round-5 debug, docs/qa.md). Chunking
-        # also bounds eval VMEM at high render_res.
+        # also bounds eval VMEM at high render_res. The per-frame
+        # camera/FK prep runs ONCE per frame (prepare_eval_samples),
+        # not per chunk, mirroring render.py's prep/render split.
         chunk = min(res * res, 8192)
         for fid in fids:
             pair = data_utils.load_eval_frame(
@@ -870,19 +889,25 @@ class Trainer:
             )
             crop2raw = pair["crop2raw"][:1].copy()
             crop2raw[:, :2] *= opts["train_res"] / res
+            batch = {
+                "dataid": jnp.asarray(pair["dataid"][:1].astype(np.int32)),
+                "frameid_sub": jnp.asarray(
+                    pair["frameid_sub"][:1].astype(np.int32)
+                ),
+                "crop2raw": jnp.asarray(crop2raw),
+                # prep consumes hxy only to size per-ray outputs; pass
+                # one chunk's worth so shapes match the streaming calls
+                "hxy": jnp.asarray(hxy[None, :chunk]),
+                "geo": geo,
+            }
+            samples = self._eval_prep(self.params, batch)
             parts = []
             for i in range(0, res * res, chunk):
-                batch = {
-                    "dataid": jnp.asarray(pair["dataid"][:1].astype(np.int32)),
-                    "frameid_sub": jnp.asarray(
-                        pair["frameid_sub"][:1].astype(np.int32)
-                    ),
-                    "crop2raw": jnp.asarray(crop2raw),
-                    "hxy": jnp.asarray(hxy[None, i : i + chunk]),
-                    "geo": geo,
-                }
                 parts.append(jax.device_get(  # ONE host transfer per chunk
-                    self._eval_render(self.params, batch)
+                    self._eval_render(
+                        self.params, samples,
+                        jnp.asarray(hxy[None, i : i + chunk]),
+                    )
                 ))
             rendered = {
                 k: (

@@ -217,10 +217,9 @@ def render_batch(model, params, batch, geo_state, categories, chunk=None,
             if keys is not None:
                 # drop unrequested channels on-device: the readback, not
                 # compute, dominates frame latency on slow host links
-                out = {
-                    k: v for k, v in out.items()
-                    if k in keys or k == "mask"  # mask blends the output
-                }
+                # (mask blending already happened inside evaluate_rays,
+                # so an unrequested mask need not be read back)
+                out = {k: v for k, v in out.items() if k in keys}
             # halve the device->host bytes: these channels feed mp4/png
             # colorization only, and f16 keeps ~3 decimal digits — the
             # readback (not compute) dominates frame latency on slow

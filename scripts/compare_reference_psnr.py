@@ -285,12 +285,11 @@ def run_ours(workdir, seqname, rounds, res, iters, frames):
         "fg", grid_size=64, level=0.0, use_visibility=False,
         use_extend_aabb=True,
     )
-    import flax.traverse_util as tru
-
-    flat = tru.flatten_dict(trainer.params)
-    logscale = next(
-        np.asarray(v) for k, v in flat.items() if k[-1] == "logscale"
-        and "fg" in "/".join(str(p) for p in k)
+    # the FIELD's logscale specifically — skeleton configs carry a second
+    # logscale leaf under the articulation MLP (init 0), and a fuzzy
+    # match would silently pick it and corrupt the mesh scale
+    logscale = np.asarray(
+        trainer.params["fields"]["field_params_fg"]["logscale"]
     )
     mesh.vertices = np.asarray(mesh.vertices) / float(np.exp(logscale))
     mesh.export(os.path.join(workdir, "mesh_ours.obj"))
