@@ -93,8 +93,11 @@ def render_bench(topk: int) -> dict:
                           "scripts", "perf", "bench_render.py")
     try:
         env = dict(os.environ, LAB4D_EVAL_TOPK=str(topk))
+        # mode-optimal chunk (docs/performance.md sweeps): exact prefers
+        # 512-1024 (505.8 @512 vs 583.7 @2048), topk prefers 2048
+        chunk = "2048" if topk else "1024"
         out = subprocess.run(
-            [sys.executable, script, "512", "2048", "3"],
+            [sys.executable, script, "512", chunk, "3"],
             capture_output=True, text=True, timeout=1200, env=env,
         )
         for line in reversed(out.stdout.strip().splitlines()):
