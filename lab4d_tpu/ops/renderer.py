@@ -8,8 +8,6 @@ scan.
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 from typing import Dict, Optional
 
@@ -189,7 +187,12 @@ def integrate(field_dict: Dict[str, jnp.ndarray], weights: jnp.ndarray):
             if len(items) == 1
             else jnp.concatenate([v for _, v in items], axis=-1)
         )
-        out = jnp.einsum("...d,...dc->...c", wt, packed)
+        # elementwise+reduce rather than an einsum matvec: the einsum made
+        # XLA pick a channel-major layout for `packed`, forcing relayout
+        # copies of every pallas (P,C) output feeding it (the ~1.7 ms
+        # copy tail in the round-5 profile); the VPU reduce accepts the
+        # producers' layout (A/B: 21.03 vs 21.23 ms/step train)
+        out = jnp.sum(wt[..., None] * packed, axis=-2)
         off = 0
         for k, v in items:
             rendered[k] = out[..., off : off + v.shape[-1]]
